@@ -1,0 +1,170 @@
+"""The core match operator: event x rule cross-apply (SURVEY.md 2.4).
+
+Semantics from the reference (/root/reference/):
+for EVERY turn, apply ALL enabled rules in definition order
+(RegexMatcher::processEvent RegexMatcher.cpp:56-79;
+ActionManager.cpp:49-120, index-order determinism :126), emit one match
+row per (turn, rule) that fires, with ``extracted`` = group(1) if the
+pattern has >=1 group else group(0) (ActionManager.cpp:72-77).
+
+Two implementations that must agree (tests pin this):
+
+* ``match_turns`` -- Arrow-vectorized ``mapInPandas``. Patterns are
+  compiled ONCE per executor per rule-set (module-level cache keyed by
+  a rules fingerprint -- the reference's regex precompilation,
+  RegexMatcher.cpp:104-117, minus its per-event recompile anti-pattern
+  at ActionManager.cpp:64 which we deliberately do NOT reproduce).
+  Matching itself is pandas ``str.contains`` / ``str.extract`` over the
+  whole Arrow batch -- no per-row Python in the hot path.
+  This is a broadcast nested-loop join in disguise: the rule list rides
+  the task closure (a few KB), the turns side streams through in
+  columnar batches, so the operator needs NO shuffle at all -- it
+  scales linearly with input partitions on a 1000-executor cluster.
+
+* ``match_turns_sql`` -- pure-Catalyst variant (RLIKE +
+  regexp_extract inside whole-stage codegen) used for plan-quality
+  comparison and as the JVM-only path for rule corpora whose
+  group(1)-else-group(0) semantics regexp_extract can express
+  (we wrap group-free patterns in one capture group, which makes
+  group(1) == group(0)).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logeventprocessor_spark.rules import Rule
+from logeventprocessor_spark.schema import MATCHES_SCHEMA
+
+# (rule_id, rule_idx, pattern, n_groups) compiled-cache, keyed by the
+# rule-set fingerprint; lives per Python worker process (per executor).
+_COMPILED_CACHE: dict[tuple, list] = {}
+
+
+def _rules_payload(rules: list[Rule]) -> tuple:
+    """Plain-tuple form of the enabled rules (picklable, hashable)."""
+    return tuple(
+        (r.rule_id, r.rule_idx, r.pattern) for r in sorted(
+            (r for r in rules if r.enabled), key=lambda r: r.rule_idx
+        )
+    )
+
+
+def _compiled(payload: tuple) -> list:
+    got = _COMPILED_CACHE.get(payload)
+    if got is None:
+        got = []
+        for rule_id, rule_idx, pattern in payload:
+            pat = re.compile(pattern, re.IGNORECASE)
+            # group-free patterns: wrap so extract() yields group(0)
+            extract_pat = (
+                pat if pat.groups >= 1 else re.compile(f"({pattern})", re.IGNORECASE)
+            )
+            got.append((rule_id, rule_idx, pat, extract_pat))
+        _COMPILED_CACHE.clear()  # only one live rule set per worker
+        _COMPILED_CACHE[payload] = got
+    return got
+
+
+def match_turns(turns: DataFrame, rules: list[Rule]) -> DataFrame:
+    """turns(conv_id, turn_idx, text, ts, ...) -> MATCHES_SCHEMA rows."""
+    payload = _rules_payload(rules)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import warnings
+
+        compiled = _compiled(payload)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            text = pdf["text"].fillna("")
+            outs = []
+            for rule_id, rule_idx, pat, extract_pat in compiled:
+                with warnings.catch_warnings():
+                    # pandas warns that a grouped pattern in contains()
+                    # discards groups -- intended: groups are read in
+                    # the extract() pass below.
+                    warnings.simplefilter("ignore", UserWarning)
+                    mask = text.str.contains(pat, na=False)
+                if not mask.any():
+                    continue
+                sub = pdf.loc[mask, ["conv_id", "turn_idx", "text", "ts"]].copy()
+                ext = text[mask].str.extract(extract_pat, expand=True).iloc[:, 0]
+                sub["rule_id"] = rule_id
+                sub["rule_idx"] = rule_idx
+                sub["extracted"] = ext.fillna("").values
+                outs.append(sub)
+            if outs:
+                out = pd.concat(outs, ignore_index=True)
+                yield out[
+                    ["conv_id", "turn_idx", "rule_id", "rule_idx", "extracted",
+                     "text", "ts"]
+                ]
+
+    cols = [c for c in ("conv_id", "turn_idx", "text", "ts") if c in turns.columns]
+    return turns.select(*cols).mapInPandas(fn, schema=MATCHES_SCHEMA)
+
+
+def _java_pattern(pattern: str, for_extract: bool) -> str:
+    """Case-insensitive Java-regex form; wrap group-free patterns for
+    extraction so group(1) == group(0)."""
+    n_groups = re.compile(pattern).groups
+    if for_extract and n_groups == 0:
+        pattern = f"({pattern})"
+    return f"(?i){pattern}"
+
+
+def match_turns_sql(turns: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Pure-Catalyst (whole-stage-codegen) variant of ``match_turns``.
+
+    Builds one RLIKE/regexp_extract branch per rule and unions via a
+    stack of per-rule projections over a single scan (Catalyst collapses
+    the union into one pass when beneficial). Suitable when the rule
+    corpus is valid Java regex with the same semantics as Python re
+    (true for the canonical and document corpora -- pinned by tests).
+    """
+    enabled = sorted((r for r in rules if r.enabled), key=lambda r: r.rule_idx)
+    parts = []
+    for r in enabled:
+        m = turns.filter(F.col("text").rlike(_java_pattern(r.pattern, False)))
+        parts.append(
+            m.select(
+                "conv_id",
+                "turn_idx",
+                F.lit(r.rule_id).alias("rule_id"),
+                F.lit(r.rule_idx).cast("int").alias("rule_idx"),
+                F.regexp_extract(
+                    F.col("text"), _java_pattern(r.pattern, True), 1
+                ).alias("extracted"),
+                "text",
+                "ts",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def classify_unmatched(turns: DataFrame, matches: DataFrame) -> DataFrame:
+    """Fallback substring classifier for turns no rule matched
+    (reference main.cpp:47-58: find("ERROR"/"WARNING"/"INFO")).
+    Pure CASE WHEN + left-anti join.
+    """
+    unmatched = turns.join(
+        matches.select("conv_id", "turn_idx").distinct(),
+        ["conv_id", "turn_idx"],
+        "left_anti",
+    )
+    return unmatched.withColumn(
+        "level",
+        F.when(F.col("text").contains("ERROR"), F.lit("error"))
+        .when(F.col("text").contains("WARNING"), F.lit("warning"))
+        .when(F.col("text").contains("INFO"), F.lit("info"))
+        .otherwise(F.lit("unclassified")),
+    )
