@@ -123,7 +123,8 @@ def make_transcripts(
         pdf.at[late[3], "ts"] = pdf.at[late[3], "ts"] - pd.Timedelta(hours=6)
 
     pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
-    pdf["ts"] = pd.to_datetime(pdf["ts"]).dt.floor("ms")
+    # microsecond precision: Spark's parquet reader rejects INT64 nanos
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).dt.floor("ms").astype("datetime64[us]")
     return pdf.reset_index(drop=True)
 
 
@@ -141,17 +142,21 @@ def write_transcripts_parquet(
 ) -> list[str]:
     """Write the transcripts as ``n_files`` parquet files (a file-based
     streaming source: each file becomes (part of) a micro-batch).
-    Files are split by row ranges, NOT by conv, so conversations span
-    micro-batches -- the interesting case for stateful operators.
+    Files are chunked in EVENT-TIME order -- a real stream's arrival
+    order -- so conversations interleave and span micro-batches (the
+    interesting case for keyed state) while the watermark advances
+    monotonically instead of retroactively declaring whole
+    conversations late.
     """
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    ordered = pdf.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
     paths = []
-    chunks = np.array_split(np.arange(len(pdf)), n_files)
+    chunks = np.array_split(np.arange(len(ordered)), n_files)
     for i, idx in enumerate(chunks):
         p = os.path.join(out_dir, f"turns_{i:04d}.parquet")
-        pdf.iloc[idx].to_parquet(p, index=False)
+        ordered.iloc[idx].to_parquet(p, index=False)
         paths.append(p)
     return paths
 

@@ -1,0 +1,66 @@
+"""Batch A-then-B sequence detection (SURVEY.md 2.5 T3 generalized).
+
+"Rule A fired, then rule B fired in the same conversation within
+``within_ms``" -- the reference's chained-matcher semantics
+(ActionManager.cpp:188-199: step B follows step A after a delay)
+promoted to a CEP sequence operator across turns.
+
+Batch realization is PURE window functions (no Python, whole-stage
+codegen): a running ``last`` over the per-conversation event-time
+order gives each B-fire the latest preceding A-fire; one filter
+applies the time bound. One shuffle on conv_id -- at 100 TB this is
+the minimal possible plan for a per-key ordered scan.
+
+The streaming realization (streaming/pipeline.py
+``stream_sequence_detect``) holds the same "latest A" as keyed state;
+tests pin that both agree with the pure-Python oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sequence_detect(
+    matches: DataFrame, rule_a: str, rule_b: str, within_ms: int
+) -> DataFrame:
+    """matches (MATCHES_SCHEMA-like; needs conv_id, turn_idx, rule_id,
+    ts) -> (conv_id, a_turn_idx, b_turn_idx, a_ts, b_ts) pairs: for
+    each B-fire, the LATEST A-fire with 0 <= ts_b - ts_a <= within_ms.
+    """
+    evts = (
+        matches.filter(F.col("rule_id").isin(rule_a, rule_b))
+        .select("conv_id", "turn_idx", "rule_id", "ts")
+        .distinct()
+        .withColumn("is_b", F.when(F.col("rule_id") == rule_b, 1).otherwise(0))
+    )
+    # At identical (ts, turn_idx) an A sorts before a B so a same-turn
+    # A qualifies as "preceding" (ts_a <= ts_b), matching the oracle.
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ts", "turn_idx", "is_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    a_ts = F.when(F.col("is_b") == 0, F.col("ts"))
+    a_turn = F.when(F.col("is_b") == 0, F.col("turn_idx"))
+    out = (
+        evts.withColumn("a_ts", F.last(a_ts, ignorenulls=True).over(w))
+        .withColumn("a_turn_idx", F.last(a_turn, ignorenulls=True).over(w))
+        .filter(
+            (F.col("is_b") == 1)
+            & F.col("a_ts").isNotNull()
+            & (
+                (F.col("ts").cast("double") - F.col("a_ts").cast("double"))
+                <= within_ms / 1000.0
+            )
+        )
+        .select(
+            "conv_id",
+            "a_turn_idx",
+            F.col("turn_idx").alias("b_turn_idx"),
+            "a_ts",
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    return out

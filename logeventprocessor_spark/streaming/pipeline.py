@@ -1,0 +1,228 @@
+"""The streaming engine: source -> watermark -> match -> keyed state ->
+step join -> exactly-once sink (SURVEY.md 3.2 "Spark analog").
+
+Layout of the query DAG (all public APIs, no custom Catalyst rules):
+
+  readStream(parquet/iceberg, TRANSCRIPTS_SCHEMA)
+    -> filter(ts >= late_cutoff)            # F6: reference's startup-time
+                                            # late-data rejection
+                                            # (ActionSender.cpp:660-677)
+    -> withWatermark("ts", delay)           # state eviction policy
+    -> mapInPandas(match)                   # M1/M2: vectorized rule match
+    -> applyInPandasWithState(cooldown)     # T1: keyed (conv_id, rule_id)
+                                            # event-time suppression
+    -> broadcast join steps + render        # T3/T4/M3
+    -> foreachBatch(ParquetUpsertSink)      # T2 (stable sort) + T6/K1
+                                            # exactly-once idempotent write
+
+The cooldown state function reuses ``operators.cooldown.suppress_group``
+so the batch and streaming semantics cannot diverge; state is one
+``last_fire_ns`` per key, evicted by event-time timeout once the
+watermark passes last_fire + cooldown (bounded state at 10^12-turn
+scale -- north-rule requirement).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from logeventprocessor_spark.operators.cooldown import suppress_group
+from logeventprocessor_spark.operators.match import match_turns
+from logeventprocessor_spark.operators.steps import expand_steps
+from logeventprocessor_spark.rules import Rule
+from logeventprocessor_spark.schema import MATCHES_SCHEMA, TRANSCRIPTS_SCHEMA
+from logeventprocessor_spark.streaming.sink import ParquetUpsertSink
+
+COOLDOWN_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_fire_ns", T.LongType(), True)]
+)
+
+
+def read_transcripts_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based micro-batch source over the transcripts schema (the
+    sandbox stand-in for the Iceberg streaming scan; the reference's
+    tail-the-file source S1/S2, LogReader.cpp:49-124 -- Spark's offset
+    tracking replaces byte-position bookkeeping)."""
+    r = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(input_dir)
+
+
+def stream_cooldown(matches: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Streaming T1: applyInPandasWithState keyed (conv_id, rule_id).
+
+    Rows of each key inside a micro-batch are processed in
+    (ts, turn_idx) order -- the engine's deterministic ordering
+    contract; ``last_fire_ns`` persists across micro-batches.
+    """
+    cooldowns = {r.rule_id: r.cooldown_ms for r in rules if r.cooldown_ms > 0}
+    if not cooldowns:
+        return matches
+    max_cd = max(cooldowns.values())
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        conv_id, rule_id = key
+        cd = cooldowns.get(rule_id)
+        pdfs = [p for p in pdf_iter if not p.empty]
+        if not pdfs:
+            return
+        g = pd.concat(pdfs, ignore_index=True)
+        if cd is None:  # zero-cooldown rule: pass through, no state
+            yield g
+            return
+        g = g.sort_values(["ts", "turn_idx"], kind="mergesort")
+        last = state.getOption
+        last_ns = last[0] if last is not None else None
+        kept, new_last = suppress_group(g, cd, last_fire_ns=last_ns)
+        if new_last is not None:
+            state.update((int(new_last),))
+            # evict once the watermark passes last_fire + cooldown (+1 s
+            # slack); must stay above the current watermark
+            wm = state.getCurrentWatermarkMs()
+            timeout_ms = max(new_last // 1_000_000 + cd + 1000, wm + 1000)
+            state.setTimeoutTimestamp(timeout_ms)
+        if len(kept):
+            yield kept
+
+    return matches.groupBy("conv_id", "rule_id").applyInPandasWithState(
+        fn,
+        outputStructType=MATCHES_SCHEMA,
+        stateStructType=COOLDOWN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+SEQUENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("a_turn_idx", T.IntegerType(), False),
+        T.StructField("b_turn_idx", T.IntegerType(), False),
+        T.StructField("a_ts", T.TimestampType(), False),
+        T.StructField("b_ts", T.TimestampType(), False),
+    ]
+)
+
+SEQ_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("a_ts_ns", T.LongType(), True),
+        T.StructField("a_turn_idx", T.IntegerType(), True),
+    ]
+)
+
+
+def stream_sequence_detect(
+    matches: DataFrame, rule_a: str, rule_b: str, within_ms: int
+) -> DataFrame:
+    """Streaming T3-generalized: "rule A followed by rule B within
+    within_ms", keyed by conv_id (the reference's chained-matcher
+    semantics, ActionManager.cpp:188-199, as a CEP sequence operator).
+    Emits (conv, a_turn, b_turn, a_ts, b_ts) with the LATEST qualifying
+    A per B. State = last A (ts, turn); evicted when the watermark
+    passes a_ts + within_ms.
+    """
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (conv_id,) = key
+        pdfs = [p for p in pdf_iter if not p.empty]
+        if not pdfs:
+            return
+        g = pd.concat(pdfs, ignore_index=True)
+        g = g[g["rule_id"].isin([rule_a, rule_b])]
+        g = g.drop_duplicates(["turn_idx", "rule_id"]).sort_values(
+            ["ts", "turn_idx"], kind="mergesort"
+        )
+        st = state.getOption
+        a_ts_ns = st[0] if st is not None else None
+        a_turn = st[1] if st is not None else None
+        out = []
+        for row in g.itertuples(index=False):
+            ts_ns = int(pd.Timestamp(row.ts).value)
+            if row.rule_id == rule_b and a_ts_ns is not None:
+                if 0 <= ts_ns - a_ts_ns <= within_ms * 1_000_000:
+                    out.append(
+                        (
+                            conv_id,
+                            int(a_turn),
+                            int(row.turn_idx),
+                            pd.Timestamp(a_ts_ns),
+                            pd.Timestamp(ts_ns),
+                        )
+                    )
+            if row.rule_id == rule_a:
+                a_ts_ns, a_turn = ts_ns, int(row.turn_idx)
+        if a_ts_ns is not None:
+            state.update((int(a_ts_ns), int(a_turn)))
+            wm = state.getCurrentWatermarkMs()
+            timeout_ms = max(a_ts_ns // 1_000_000 + within_ms + 1000, wm + 1000)
+            state.setTimeoutTimestamp(timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["conv_id", "a_turn_idx", "b_turn_idx", "a_ts", "b_ts"],
+            )
+
+    return matches.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=SEQUENCE_SCHEMA,
+        stateStructType=SEQ_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def build_match_stream(
+    stream: DataFrame,
+    rules: list[Rule],
+    watermark: str = "10 minutes",
+    late_cutoff=None,
+) -> DataFrame:
+    """source stream -> rendered action rows (unsunk)."""
+    if late_cutoff is not None:
+        stream = stream.filter(F.col("ts") >= F.lit(late_cutoff))
+    m = match_turns(stream, rules)
+    # the watermark must sit on the stateful operator's direct input:
+    # mapInPandas produces a fresh event-time column, so the marker is
+    # (re)declared here on the matches stream
+    m = m.withWatermark("ts", watermark)
+    m = stream_cooldown(m, rules)
+    return expand_steps(m, rules)
+
+
+def start_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    rules: list[Rule],
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    late_cutoff=None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = 1,
+):
+    """Wire the full query and start it. Returns (query, sink)."""
+    stream = read_transcripts_stream(spark, input_dir, max_files_per_trigger)
+    actions = build_match_stream(stream, rules, watermark, late_cutoff)
+    sink = ParquetUpsertSink(out_dir)
+    writer = (
+        actions.writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    return q, sink
