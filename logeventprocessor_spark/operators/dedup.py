@@ -1,0 +1,277 @@
+"""Deduplication operators for training-data pipelines at 100 TB.
+
+Five dedup families, each expressed so the expensive part stays
+JVM-side and the candidate set shrinks BEFORE any quadratic work:
+
+* exact           -- hash-groupBy on a normalized fingerprint
+* n-gram Jaccard  -- shingle explode -> candidate pairs sharing a
+                     shingle -> exact Jaccard (inverted-index join, no
+                     full cross product)
+* MinHash + LSH   -- k minhashes per doc via ONE groupBy with k
+                     xxhash64-min aggregates; banding -> bucket join
+                     for candidates -> exact-Jaccard verify
+* SimHash         -- 64 bitwise aggregates over exploded tokens (all
+                     whole-stage codegen); hamming-distance candidates
+* embedding cosine -- see similarity.py (near_dup_pairs)
+
+All shuffles are keyed on shingle/bucket values (high cardinality, no
+skew); doc-side explode fan-out is bounded by tokens-per-doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logeventprocessor_spark.operators.text import with_fingerprint
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of exact duplicates (normalized text): one row per group
+    with the canonical (min) id, the dup count, and the key."""
+    fp = with_fingerprint(df, text_col).select(id_col, "fp_md5")
+    return (
+        fp.groupBy("fp_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep one representative (min id) per normalized-text group."""
+    fp = with_fingerprint(df, text_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp_md5").orderBy(id_col)
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp_md5", "fp_roll")
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard >= threshold, found via
+    an inverted-index self-join (pairs must share >= 1 shingle)."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """k MinHash values per doc in ONE shuffle: groupBy(doc) with k
+    min(xxhash64(seed_i, shingle)) aggregates -- all JVM-side."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash banding: docs sharing any band bucket become candidates;
+    candidates are verified with EXACT n-gram Jaccard (no false
+    positives; recall is the banded-LSH probability curve)."""
+    assert k % bands == 0
+    rows = k // bands
+    sig = minhash_signatures(df, k, id_col, text_col, n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (inverted-index restricted
+    # to candidate docs only)
+    sh = shingles(df, id_col, text_col, n)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh_c.alias("x")
+        .join(sh_c.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(cand, ["doc_a", "doc_b"])  # only LSH candidates
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc: explode tokens, xxhash64 each, then for
+    every bit sum +1/-1 and reassemble -- 64 codegen'd aggregates, one
+    shuffle, no Python."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b_{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        # shiftleft in the JVM: bit 63 wraps to the sign bit, which a
+        # python 1<<63 literal cannot express as LongType
+        sig = sig + F.when(
+            F.col(f"b_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, using
+    the block-permutation trick: split the 64-bit sig into n_blocks
+    16-bit blocks; a pair within distance d < n_blocks must agree on
+    >=1 block -> join per block, then verify exact hamming."""
+    sig = simhash(df, id_col, text_col)
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``      -- brute-force exact top-k for one query vector:
+                          broadcast the query as a literal, dot product
+                          via built-in ``aggregate``/``zip_with`` (all
+                          JVM-side), ORDER BY + LIMIT (Spark plans
+                          TakeOrderedAndProject -- no full sort).
+* ``lsh_topk``         -- scale path: random-hyperplane LSH bucketing;
+                          only the query's bucket (plus optional
+                          multi-probe neighbors) is scanned exactly.
+* ``near_dup_pairs``   -- all-pairs cosine >= threshold via the same
+                          LSH buckets (candidates share a bucket), then
+                          exact verify. Avoids the O(n^2) cross join.
+
+Hyperplanes are generated driver-side from a fixed seed (numpy) and
+enter the plan as literals -- deterministic, no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_sim_to_query(df: DataFrame, query: list[float], vec_col: str = "embedding"):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = float(np.sqrt(np.sum(np.asarray(query, dtype="float64") ** 2)))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return _dot(v, q) / (_norm(v) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query``."""
+    sim = cosine_sim_to_query(df, query, vec_col)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    h = rng.normal(size=(n_planes, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray):
+    """Bucket id = sign-bit string of the vector against each plane."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: scan only vectors whose LSH bucket equals the
+    query's. At 100 TB: the bucket column is precomputed/partitioned,
+    so this is a partition-pruned scan + small exact top-k."""
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = "".join(
+        "1" if float(np.dot(p, np.asarray(query, dtype="float64"))) >= 0 else "0"
+        for p in planes
+    )
+    bucketed = df.withColumn("_bucket", lsh_bucket_expr(vec_col, planes))
+    cand = bucketed.filter(F.col("_bucket") == qbits)
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: candidates = same LSH bucket,
+    verified with exact cosine >= threshold."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_expr(vec_col, planes).alias("_bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    va = F.transform(F.col("x.v"), lambda t: t.cast("double"))
+    vb = F.transform(F.col("y.v"), lambda t: t.cast("double"))
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return (
+        x.join(y, "_bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def brute_force_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs baseline (O(n^2) -- small inputs / recall
+    measurement only)."""
+    b = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    x, y = b.alias("x"), b.alias("y")
+    va = F.transform(F.col("x.v"), lambda t: t.cast("double"))
+    vb = F.transform(F.col("y.v"), lambda t: t.cast("double"))
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return (
+        x.crossJoin(y)
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are pure built-in column expressions (whole-stage
+codegen, pushdown-friendly); no Python in the per-row path.
+
+Operators: token counting (whitespace + BPE-ish word-piece regex),
+quality scoring (length / punctuation / stopword ratios), language-ID
+(stopword-hit heuristic), document fingerprinting (normalized md5 +
+polynomial rolling hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword signatures for the heuristic language ID
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ich", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "je", "pas"],
+    "es": ["el", "la", "los", "y", "es", "una", "que", "no"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+# BPE-ish word-piece tokenizer: words, numbers, or single non-space
+# punctuation -- a regex approximation of byte-pair pretokenization.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def _ws_tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """whitespace token count + BPE-ish piece count + char count."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens_ws", F.size(_ws_tokens(c)))
+        .withColumn(
+            "n_tokens_bpe", F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+        )
+        .withColumn("n_chars_calc", F.length(c))
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features and a
+    combined [0,1] score (a Gopher/C4-style cheap filter)."""
+    c = F.col(text_col)
+    toks = _ws_tokens(c)
+    n_toks = F.size(toks)
+    stop_lit = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, F.lower(t))))
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    mean_word_len = F.length(F.regexp_replace(c, r"\s+", "")) / n_toks
+    out = (
+        df.withColumn("n_tokens_ws", n_toks)
+        .withColumn("stopword_ratio", F.round(n_stop / n_toks, 6))
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(F.length(c), F.lit(1)), 6))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+    )
+    score = (
+        F.when((F.col("n_tokens_ws") >= 10) & (F.col("n_tokens_ws") <= 100000), 0.4)
+        .otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.3).otherwise(0.0)
+        + F.when(
+            (F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12), 0.3
+        ).otherwise(0.0)
+    )
+    return out.withColumn("quality_score", F.round(score, 2))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: most stopword hits wins (n-gram-free,
+    pure CASE/array expressions; ties broken by language order)."""
+    toks = F.transform(_ws_tokens(F.col(text_col)), lambda t: F.lower(t))
+    scores = {}
+    for lang, words in LANG_STOPWORDS.items():
+        lit = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(lit, t)))
+    df = df.withColumns({f"_s_{lang}": s for lang, s in scores.items()})
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in fixed order so ties are deterministic (first wins)
+    for lang in LANG_STOPWORDS:
+        cond = F.col(f"_s_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"_s_{lang}")).otherwise(best_score)
+    return df.withColumn("lang_pred", best).drop(
+        *[f"_s_{lang}" for lang in LANG_STOPWORDS]
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two fingerprints: ``fp_md5`` of whitespace-normalized lowercase
+    text (exact-dup key) and ``fp_roll`` -- a polynomial rolling hash
+    over whitespace tokens (base 1000003 mod 2^31-1, xxhash64 per
+    token), order-sensitive, computed with built-in aggregate() -- no
+    Python. Modular form keeps every intermediate < 2^52 so ANSI-mode
+    long arithmetic never overflows.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    toks = F.split(norm, " ")
+    mod = F.lit(2147483647).cast("long")  # 2^31 - 1
+    roll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(1000003).cast("long") + F.pmod(F.xxhash64(t), mod), mod
+        ),
+    )
+    return df.withColumn("fp_md5", F.md5(norm.cast("binary"))).withColumn(
+        "fp_roll", roll
+    )

@@ -1,0 +1,176 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logeventprocessor_spark.operators import dedup as D
+from logeventprocessor_spark.operators import similarity as S
+from logeventprocessor_spark.operators import text as Tx
+from logeventprocessor_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "The  Quick   Brown fox jumps over the lazy dog"),  # norm dup of 0
+        (3, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (4, "completely different text about spark streaming engines"),
+        (5, "spark streaming engines are completely different text about"),
+        (6, "a b c d e f g h i j k l m n o p"),
+        (7, "zz yy xx ww vv uu tt ss rr qq pp"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    got = D.exact_duplicates(docs).toPandas()
+    assert len(got) == 1
+    assert got.iloc[0]["canonical_id"] == 0 and got.iloc[0]["dup_count"] == 3
+    kept = D.dedup_exact(docs).toPandas()
+    assert sorted(kept["doc_id"]) == [0, 3, 4, 5, 6, 7]
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    got = D.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    pairs = set(map(tuple, got[["doc_a", "doc_b"]].values))
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert (0, 3) in pairs  # one word differs -> jaccard ~ 0.5
+    assert got.set_index(["doc_a", "doc_b"]).loc[(0, 1), "jaccard"] == 1.0
+
+
+def test_jaccard_matches_python(spark, docs):
+    """Spark exact Jaccard == naive python on every shared-shingle pair."""
+    got = D.ngram_jaccard_pairs(docs, threshold=0.0).toPandas()
+    texts = dict(docs.toPandas()[["doc_id", "text"]].values)
+
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    for r in got.itertuples(index=False):
+        a, b = sh(texts[r.doc_a]), sh(texts[r.doc_b])
+        exp = len(a & b) / len(a | b)
+        assert abs(r.jaccard - exp) < 1e-6
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    got = D.minhash_lsh_pairs(docs, k=16, bands=8, threshold=0.4).toPandas()
+    pairs = set(map(tuple, got[["doc_a", "doc_b"]].values))
+    assert (0, 1) in pairs and (0, 2) in pairs
+    # verification is exact: every reported jaccard >= threshold
+    assert (got["jaccard"] >= 0.4).all()
+
+
+def test_simhash_near_dups(spark, docs):
+    sigs = D.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    ham = bin(int(sigs[0]) ^ int(sigs[1])).count("1")
+    assert ham == 0  # identical text -> identical simhash
+    pairs = D.simhash_pairs(docs, max_hamming=12).toPandas()
+    ps = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    assert (0, 1) in ps
+    assert (pairs["hamming"] <= 12).all()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(20, 16)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.normal(size=16).astype("float32")  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_cosine_topk_exact(spark, vecs):
+    df, base = vecs
+    q = [float(x) for x in base[0]]
+    got = S.cosine_topk(df, q, k=5).toPandas()
+    b = base.astype("float64")
+    sims = (b @ np.asarray(q)) / (np.linalg.norm(b, axis=1) * np.linalg.norm(q))
+    exp_ids = np.argsort(-sims)[:5]
+    assert got["vec_id"].tolist() == exp_ids.tolist()
+    assert abs(got.iloc[0]["cos_sim"] - 1.0) < 1e-6
+    assert got.iloc[1]["vec_id"] == 1  # the planted near-dup
+
+
+def test_lsh_topk_contains_self_and_neardup(spark, vecs):
+    df, base = vecs
+    q = [float(x) for x in base[0]]
+    got = S.lsh_topk(df, q, k=5, n_planes=4).toPandas()
+    assert 0 in got["vec_id"].tolist()
+    assert 1 in got["vec_id"].tolist()  # near-identical -> same bucket
+
+
+def test_near_dup_pairs_lsh_vs_brute(spark, vecs):
+    df, _ = vecs
+    lsh = S.near_dup_pairs(df, threshold=0.99, n_planes=4).toPandas()
+    brute = S.brute_force_pairs(df, threshold=0.99).toPandas()
+    assert (0, 1) in set(map(tuple, lsh[["vec_a", "vec_b"]].values))
+    # LSH pairs are a subset of brute-force truth (exact verify step)
+    assert set(map(tuple, lsh[["vec_a", "vec_b"]].values)) <= set(
+        map(tuple, brute[["vec_a", "vec_b"]].values)
+    )
+
+
+def test_token_counts_and_quality(spark, docs):
+    got = Tx.with_quality_score(Tx.with_token_counts(docs, "text")).toPandas()
+    row = got[got.doc_id == 0].iloc[0]
+    assert row["n_tokens_ws"] == 9
+    assert row["n_chars_calc"] == len("the quick brown fox jumps over the lazy dog")
+    assert 0 <= row["quality_score"] <= 1
+    assert row["stopword_ratio"] > 0  # 'the' x2 + 'over'
+
+
+def test_lang_id_heuristic(spark):
+    rows = [
+        (0, "the cat is in the house and it is warm"),
+        (1, "der hund ist nicht in der schule und ich bin zu haus"),
+        (2, "le chat est une belle creature et je ne sais pas"),
+        (3, "el perro es una mascota y no es el gato"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = Tx.with_lang_id(df).toPandas().set_index("doc_id")["lang_pred"]
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr" and got[3] == "es"
+
+
+def test_fingerprint_normalization(spark, docs):
+    got = Tx.with_fingerprint(docs).toPandas().set_index("doc_id")
+    assert got.loc[0, "fp_md5"] == got.loc[2, "fp_md5"]  # whitespace/case norm
+    assert got.loc[0, "fp_roll"] == got.loc[1, "fp_roll"]
+    assert got.loc[0, "fp_roll"] != got.loc[3, "fp_roll"]
+    # order sensitivity: 4 vs 5 share words but different order
+    assert got.loc[4, "fp_roll"] != got.loc[5, "fp_roll"]
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = M.synth_media(spark, n=30)
+    feats = M.decode_features(media, dim=8).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 8 for f in feats["feature"])
+    # deterministic: same payload -> same feature
+    feats2 = M.decode_features(media, dim=8).toPandas()
+    a = [list(f) for f in feats.sort_values("media_id")["feature"]]
+    b = [list(f) for f in feats2.sort_values("media_id")["feature"]]
+    assert a == b
+    # real decode is an explicit stub
+    with pytest.raises(Exception) as ei:
+        M.decode_features(media, dim=8, real_decode=True).count()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(spark):
+    media = M.synth_media(spark, n=30)
+    plan = M.frame_sample_plan(media, every_ms=5000).toPandas()
+    vids = media.filter(F.col("kind") == "video").toPandas()
+    assert set(plan["media_id"]) == set(vids["media_id"])
+    one = vids.iloc[0]
+    n_frames = len(plan[plan.media_id == one["media_id"]])
+    assert n_frames == int(one["meta"]["duration_ms"] - 1) // 5000 + 1
