@@ -1,0 +1,138 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": seconds, "unit": "sec", "queries": {...},
+ "sf": ..., "throughput": {...}}
+
+Headline set = the operators that dominate a 100 TB run: the CEP match
+pipeline (batch + streaming forms) on a deterministically generated
+transcript stream sized to the SF, plus the window/join/dedup/
+similarity queries over the driver tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from logeventprocessor_spark import queries as Q  # noqa: E402
+from logeventprocessor_spark.generator import (  # noqa: E402
+    make_transcripts,
+    transcripts_df,
+    write_transcripts_parquet,
+)
+from logeventprocessor_spark.pipeline import match_actions  # noqa: E402
+from logeventprocessor_spark.rules import canonical_rules  # noqa: E402
+from logeventprocessor_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# transcript-stream size scales with SF (sf0.1 -> ~120k turns)
+_SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
+N_CONVS = max(200, int(20000 * _SF))
+MEAN_TURNS = 48
+
+BENCH_QUERIES = [
+    "cep_match_actions",
+    "cep_cooldown_fires",
+    "cep_sequence_pairs",
+    "window_tumbling_1h",
+    "window_sliding_1h_30m",
+    "window_session_30m",
+    "sequence_signup_purchase",
+    "interval_join_error_click",
+    "topk_events_per_user",
+    "tpch_q1_pricing",
+    "tpch_q3_top_revenue",
+    "tpch_q5_nation_revenue",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_cosine_query",
+    "lsh_ann_topk",
+    "text_quality",
+    "lang_id_pred",
+]
+
+
+def _run(df) -> int:
+    """Force full execution without collecting rows to the driver."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def main():
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    qs = Q.build_queries()
+    timings: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+    t_total = time.time()
+
+    # --- CEP batch pipeline on the generated transcript stream ---
+    pdf = make_transcripts(n_convs=N_CONVS, mean_turns=MEAN_TURNS, seed=42)
+    n_turns = len(pdf)
+    tmp = tempfile.mkdtemp(prefix="bench_")
+    try:
+        write_transcripts_parquet(pdf, f"{tmp}/turns", n_files=max(CPUS, 8))
+        del pdf
+        rules = canonical_rules()
+        turns = spark.read.parquet(f"{tmp}/turns")
+        turns.count()  # warm the file listing / page cache
+
+        t0 = time.time()
+        acts = match_actions(turns, rules, with_cooldown=True)
+        n_actions = acts.count()
+        dt = time.time() - t0
+        timings["cep_batch_pipeline"] = round(dt, 3)
+        throughput["batch_turns_per_sec"] = round(n_turns / dt, 1)
+        throughput["batch_match_rows_per_sec"] = round(n_actions / dt, 1)
+        throughput["n_turns"] = n_turns
+        throughput["n_match_rows"] = n_actions
+
+        # --- CEP streaming pipeline (availableNow over the same input) ---
+        from logeventprocessor_spark.streaming.pipeline import start_pipeline
+
+        t0 = time.time()
+        q, sink = start_pipeline(
+            spark, f"{tmp}/turns", rules,
+            out_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
+            watermark="10 minutes", max_files_per_trigger=None,
+        )
+        q.awaitTermination(3600)
+        dt = time.time() - t0
+        timings["cep_streaming_pipeline"] = round(dt, 3)
+        throughput["stream_turns_per_sec"] = round(n_turns / dt, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # --- driver-table operator queries ---
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _run(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_total, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _SF,
+                "cpus": CPUS,
+                "throughput": throughput,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

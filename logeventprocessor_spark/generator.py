@@ -171,7 +171,7 @@ def documents_as_transcripts(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = Window.partitionBy("source").orderBy("doc_id")
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
     return (
         docs.select(
             F.col("source").alias("conv_id"),
@@ -181,9 +181,14 @@ def documents_as_transcripts(spark, sf_dir: str):
         .withColumn("turn_idx", (F.row_number().over(w) - F.lit(1)).cast("int"))
         .withColumn("role", F.lit("user"))
         .withColumn("tool", F.lit(""))
+        # wall-clock literal + interval arithmetic: renders identically
+        # via date_format in ANY session timezone (an epoch-seconds cast
+        # would shift with the driver's tz)
         .withColumn(
             "ts",
-            (F.lit(1709251200).cast("long") + F.col("doc_id") * 60).cast("timestamp"),
+            F.expr(
+                "timestamp'2024-03-01 00:00:00' + doc_id * INTERVAL 60 SECONDS"
+            ),
         )
         .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     )

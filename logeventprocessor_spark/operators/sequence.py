@@ -50,8 +50,13 @@ def sequence_detect(
         .filter(
             (F.col("is_b") == 1)
             & F.col("a_ts").isNotNull()
+            # cast through TIMESTAMP first: parquet NTZ timestamps
+            # cannot cast straight to double
             & (
-                (F.col("ts").cast("double") - F.col("a_ts").cast("double"))
+                (
+                    F.col("ts").cast("timestamp").cast("double")
+                    - F.col("a_ts").cast("timestamp").cast("double")
+                )
                 <= within_ms / 1000.0
             )
         )

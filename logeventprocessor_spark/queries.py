@@ -1,0 +1,894 @@
+"""Driver-harness query registry: every operator from SURVEY.md §2 as
+a (Spark query, DuckDB oracle SQL) pair over the driver's sf tables.
+
+Conventions (the driver hashes values after sorting columns by name):
+* every computed column is aliased IDENTICALLY in Spark and SQL;
+* timestamps are rendered as strings (``date_format`` / ``strftime``)
+  so engine-internal epoch/timezone representations never leak into
+  the hash;
+* float aggregates are rounded (sums to 2-4 dp, ratios to 6 dp) so
+  partial-aggregation summation order cannot flip low bits;
+* integer-typed outputs are cast to the same width on both sides
+  (Spark ``size``/literals are int32; DuckDB ``len``/``row_number``
+  are int64).
+
+CEP queries run over ``documents_as_transcripts`` (the driver's
+documents table adapted to the transcript shape) so the match operator
+is checked against DuckDB on driver-owned data; the cooldown oracle is
+a recursive-CTE greedy chain -- an independent SQL formulation of the
+keyed-state semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logeventprocessor_spark.generator import (
+    documents_as_transcripts,
+    make_transcripts,
+    transcripts_df,
+)
+from logeventprocessor_spark.operators import dedup as D
+from logeventprocessor_spark.operators import multimodal as M
+from logeventprocessor_spark.operators import similarity as S
+from logeventprocessor_spark.operators import text as Tx
+from logeventprocessor_spark.operators import windows as Wops
+from logeventprocessor_spark.operators.cooldown import apply_cooldown
+from logeventprocessor_spark.operators.match import classify_unmatched, match_turns
+from logeventprocessor_spark.operators.sequence import sequence_detect
+from logeventprocessor_spark.pipeline import match_actions
+from logeventprocessor_spark.rules import Rule, RuleStep, canonical_rules, document_rules
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_SPARK_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+TS_FMT_DUCK_US = "%Y-%m-%d %H:%M:%S.%f"
+
+# DuckDB fragment: the documents table in transcript shape (must stay
+# in lockstep with generator.documents_as_transcripts)
+_SQL_DOC_TURNS = """
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text,
+         TIMESTAMP '2024-03-01 00:00:00' + doc_id * INTERVAL 60 SECOND AS ts
+  FROM documents
+"""
+
+# DuckDB fragment: one row per (turn, fired document-rule) -- mirrors
+# rules.document_rules(); patterns are dialect-safe (Python re == RE2)
+_SQL_DOC_MATCHES = f"""
+  WITH t AS ({_SQL_DOC_TURNS})
+  SELECT conv_id, turn_idx, ts, text, 'spark_next' AS rule_id,
+         CAST(0 AS INTEGER) AS rule_idx,
+         regexp_extract(text, '(?i)spark ([^\\s]+) window', 1) AS extracted
+    FROM t WHERE regexp_matches(text, '(?i)spark ([^\\s]+) window')
+  UNION ALL
+  SELECT conv_id, turn_idx, ts, text, 'merge_batch', CAST(1 AS INTEGER),
+         regexp_extract(text, '(?i)merge batch', 0)
+    FROM t WHERE regexp_matches(text, '(?i)merge batch')
+  UNION ALL
+  SELECT conv_id, turn_idx, ts, text, 'customer_query', CAST(2 AS INTEGER),
+         regexp_extract(text, '(?i)customer ([a-z]+) query', 1)
+    FROM t WHERE regexp_matches(text, '(?i)customer ([a-z]+) query')
+  UNION ALL
+  SELECT conv_id, turn_idx, ts, text, 'big_table', CAST(3 AS INTEGER),
+         regexp_extract(text, '(?i)big table', 0)
+    FROM t WHERE regexp_matches(text, '(?i)big table')
+"""
+
+_SQL_DOC_STEPS = """
+  (VALUES ('spark_next',    0, 'command',   'g # noted'),
+          ('merge_batch',   0, 'keystroke', 'f2'),
+          ('merge_batch',   1, 'command',   'compact now'),
+          ('customer_query',0, 'text',      'seen: #'),
+          ('big_table',     0, 'sms',       '')) AS s(rule_id, step_idx, type, value)
+"""
+
+
+def _doc_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    turns = documents_as_transcripts(spark, sf_dir)
+    return match_actions(turns, document_rules(), with_cooldown=False).select(
+        "conv_id",
+        "turn_idx",
+        "rule_id",
+        "rule_idx",
+        "step_idx",
+        "extracted",
+        "action_type",
+        "rendered_value",
+    )
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _li(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------
+# CEP family (documents-as-transcripts)
+# --------------------------------------------------------------------
+
+def q_cep_match_actions(spark, sf_dir):
+    """Flagship: match + extract + render + step expansion (M1-M4,
+    T3/T4), no cooldown."""
+    return _doc_actions(spark, sf_dir)
+
+
+def q_cep_match_counts(spark, sf_dir):
+    turns = documents_as_transcripts(spark, sf_dir)
+    m = match_turns(turns, document_rules())
+    return m.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def q_cep_fallback_classify(spark, sf_dir):
+    """F5: substring fallback classifier on turns no rule matched
+    (left-anti join + CASE WHEN)."""
+    turns = documents_as_transcripts(spark, sf_dir)
+    m = match_turns(turns, document_rules())
+    return (
+        classify_unmatched(turns, m)
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+
+
+def _doc_rules_with_cooldown():
+    rules = document_rules()
+    out = []
+    for r in rules:
+        if r.rule_id == "big_table":
+            r = Rule(r.rule_id, r.rule_idx, r.pattern, cooldown_ms=1_800_000,
+                     enabled=r.enabled, steps=r.steps)
+        out.append(r)
+    return out
+
+
+def q_cep_cooldown_fires(spark, sf_dir):
+    """T1: event-time cooldown (30 min) on the big_table rule; oracle
+    is an independent recursive-CTE greedy chain in DuckDB."""
+    turns = documents_as_transcripts(spark, sf_dir)
+    rules = _doc_rules_with_cooldown()
+    m = apply_cooldown(match_turns(turns, rules), rules)
+    return m.filter(F.col("rule_id") == "big_table").select(
+        "conv_id", "turn_idx",
+        F.date_format("ts", TS_FMT_SPARK).alias("fire_ts"),
+    )
+
+
+def q_cep_sequence_pairs(spark, sf_dir):
+    """T3-generalized: merge_batch then big_table within 2 h per conv."""
+    turns = documents_as_transcripts(spark, sf_dir)
+    m = match_turns(turns, document_rules())
+    seq = sequence_detect(m, "merge_batch", "big_table", within_ms=7_200_000)
+    return seq.select(
+        "conv_id",
+        "a_turn_idx",
+        "b_turn_idx",
+        F.date_format("a_ts", TS_FMT_SPARK).alias("a_fire_ts"),
+        F.date_format("b_ts", TS_FMT_SPARK).alias("b_fire_ts"),
+    )
+
+
+def q_cep_session_convs(spark, sf_dir):
+    """Session windows per conversation, 30 min gap (2.6)."""
+    turns = documents_as_transcripts(spark, sf_dir)
+    s = Wops.session(turns, "ts", "30 minutes", keys=["conv_id"])
+    return s.select(
+        "conv_id",
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------
+# events family
+# --------------------------------------------------------------------
+
+def q_window_tumbling_1h(spark, sf_dir):
+    w = Wops.tumbling(_events(spark, sf_dir), "ts", "1 hour",
+                      keys=["event_type"], value_col="value")
+    return w.select(
+        F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+        "event_type", "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_window_sliding_1h_30m(spark, sf_dir):
+    w = Wops.sliding(_events(spark, sf_dir), "ts", "1 hour", "30 minutes",
+                     keys=["event_type"], value_col="value")
+    return w.select(
+        F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+        "event_type", "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_window_session_30m(spark, sf_dir):
+    s = Wops.session(_events(spark, sf_dir), "ts", "30 minutes",
+                     keys=["user_id"], value_col="value")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", TS_FMT_SPARK_US).alias("session_start"),
+        F.date_format("session_end", TS_FMT_SPARK_US).alias("session_end"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_sequence_signup_purchase(spark, sf_dir):
+    """A-then-B on the events table via the engine's sequence operator
+    (events adapted to the match frame)."""
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("rule_id"),
+        "ts",
+    )
+    seq = sequence_detect(e, "signup", "purchase", within_ms=3_600_000)
+    return seq.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.col("a_turn_idx").alias("signup_event_id"),
+        F.col("b_turn_idx").alias("purchase_event_id"),
+        F.date_format("a_ts", TS_FMT_SPARK_US).alias("a_ts"),
+        F.date_format("b_ts", TS_FMT_SPARK_US).alias("b_ts"),
+    )
+
+
+def q_interval_join_error_click(spark, sf_dir):
+    """Interval join (2.6): clicks within +-5 min of an error, same user."""
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("user_id"), F.col("event_id").alias("error_id"),
+        F.col("ts").alias("a_ts"))
+    b = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("b_ts"))
+    j = a.join(b, "user_id").filter(
+        (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return j.select("user_id", "error_id", "click_id")
+
+
+def q_topk_events_per_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        e.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 2).alias("value"), "rnk")
+    )
+
+
+def q_dedup_first_event_per_minute(spark, sf_dir):
+    """T7 analog: dropDuplicates by (user, type, minute) keeping the
+    first event id."""
+    e = _events(spark, sf_dir)
+    return (
+        e.withColumn("minute", F.date_format(F.date_trunc("minute", "ts"),
+                                             TS_FMT_SPARK))
+        .groupBy("user_id", "event_type", "minute")
+        .agg(F.min("event_id").alias("first_event_id"))
+    )
+
+
+def q_props_k_stats(spark, sf_dir):
+    """JSON-ish props extraction (2.6 json fns) -- regex on both sides
+    (dialect-safe; avoids JSON-extension availability questions)."""
+    e = _events(spark, sf_dir)
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    """ROLLUP aggregation (2.6 grouping sets)."""
+    e = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    return (
+        e.rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H-ish family (classic relational operators)
+# --------------------------------------------------------------------
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    li = _li(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3_top_revenue(spark, sf_dir):
+    c = _li(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _li(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _li(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+    )
+
+
+def q_tpch_q5_nation_revenue(spark, sf_dir):
+    r = _li(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _li(spark, sf_dir, "nation")
+    s = _li(spark, sf_dir, "supplier")
+    c = _li(spark, sf_dir, "customer")
+    o = _li(spark, sf_dir, "orders")
+    li = _li(spark, sf_dir, "lineitem")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(s, s.s_nationkey == n.n_nationkey)
+        .join(li, li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, (c.c_custkey == o.o_custkey) & (c.c_nationkey == s.s_nationkey))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q4_priority(spark, sf_dir):
+    """Semi-join: orders with >=1 lineitem received late."""
+    o = _li(spark, sf_dir, "orders")
+    li = _li(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-06-01")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join (2.6 set ops): customers with no order above 300k
+    (plain no-orders would be empty at these SFs)."""
+    c = _li(spark, sf_dir, "customer")
+    o = _li(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------
+# text / dedup / similarity family
+# --------------------------------------------------------------------
+
+def q_doc_fingerprints(spark, sf_dir):
+    # fp_roll is xxhash64-based (no DuckDB equivalent) -> oracle checks
+    # fp_md5 only; fp_roll is pinned by unit tests instead
+    return Tx.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_md5")
+
+
+def q_dedup_exact_stats(spark, sf_dir):
+    d = Tx.with_fingerprint(_docs(spark, sf_dir))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp_md5").alias("n_distinct"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
+def q_text_quality(spark, sf_dir):
+    d = Tx.with_quality_score(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id", "n_tokens_ws", "stopword_ratio", "punct_ratio", "quality_score"
+    )
+
+
+def q_lang_id_pred(spark, sf_dir):
+    return Tx.with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_token_stats_by_lang(spark, sf_dir):
+    d = Tx.with_token_counts(_docs(spark, sf_dir))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens_ws"), 4).alias("avg_tokens"),
+        F.sum("n_tokens_bpe").cast("long").alias("total_bpe_tokens"),
+    )
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def q_embedding_cosine_query(spark, sf_dir):
+    """Brute-force similarity search: all vectors with cosine >= 0.25
+    to the vec_id=0 query (threshold form -- stable under ties)."""
+    q = _query_vec(spark, sf_dir)
+    sim = S.cosine_sim_to_query(_emb(spark, sf_dir), q)
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.round(sim, 6).alias("cos_sim"))
+        .filter((F.col("cos_sim") >= 0.25) & (F.col("vec_id") != 0))
+    )
+
+
+def q_embedding_neardup_pairs(spark, sf_dir):
+    return S.brute_force_pairs(_emb(spark, sf_dir), threshold=0.30)
+
+
+# --------------------------------------------------------------------
+# rows-only queries (no SQL-expressible oracle: hashing/stateful/UDF)
+# --------------------------------------------------------------------
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), k=16, bands=8, threshold=0.6)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    q = _query_vec(spark, sf_dir)
+    return S.lsh_topk(_emb(spark, sf_dir), q, k=10, n_planes=4)
+
+
+def q_cep_transcripts_flagship(spark, sf_dir):
+    """The full canonical CEP pipeline (incl. cooldown state) on the
+    deterministic transcript generator -- the engine's own fixtures."""
+    turns = transcripts_df(spark, make_transcripts(n_convs=40, seed=42))
+    acts = match_actions(turns, canonical_rules(), with_cooldown=True)
+    return acts.select(
+        "conv_id", "turn_idx", "rule_id", "rule_idx", "step_idx",
+        "extracted", "action_type", "rendered_value",
+        F.date_format("ts", TS_FMT_SPARK_US).alias("ts"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    feats = M.decode_features(M.synth_media(spark, n=60), dim=16)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
+    )
+
+
+# --------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "cep_match_actions": f"""
+        WITH m AS ({_SQL_DOC_MATCHES})
+        SELECT m.conv_id, m.turn_idx, m.rule_id, m.rule_idx,
+               CAST(s.step_idx AS INTEGER) AS step_idx, m.extracted,
+               s.type AS action_type,
+               CASE WHEN s.type IN ('sms','email') THEN m.text
+                    WHEN m.extracted <> '' THEN replace(s.value, '#', m.extracted)
+                    ELSE s.value END AS rendered_value
+        FROM m JOIN {_SQL_DOC_STEPS} USING (rule_id)
+    """,
+    "cep_match_counts": f"""
+        WITH m AS ({_SQL_DOC_MATCHES})
+        SELECT rule_id, count(*) AS n_matches FROM m GROUP BY rule_id
+    """,
+    "cep_fallback_classify": f"""
+        WITH t AS ({_SQL_DOC_TURNS}), m AS ({_SQL_DOC_MATCHES})
+        SELECT CASE WHEN contains(text, 'ERROR') THEN 'error'
+                    WHEN contains(text, 'WARNING') THEN 'warning'
+                    WHEN contains(text, 'INFO') THEN 'info'
+                    ELSE 'unclassified' END AS level,
+               count(*) AS n_turns
+        FROM t WHERE NOT EXISTS (
+          SELECT 1 FROM m WHERE m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx)
+        GROUP BY 1
+    """,
+    "cep_cooldown_fires": f"""
+        WITH RECURSIVE hits AS (
+          SELECT conv_id, turn_idx, ts,
+                 row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+          FROM ({_SQL_DOC_MATCHES}) WHERE rule_id = 'big_table'
+        ), fire AS (
+          SELECT conv_id, turn_idx, ts, rn FROM hits WHERE rn = 1
+          UNION ALL
+          SELECT n.conv_id, n.turn_idx, n.ts, n.rn FROM fire f, LATERAL (
+            SELECT * FROM hits h
+            WHERE h.conv_id = f.conv_id AND h.ts >= f.ts + INTERVAL 1800 SECOND
+            ORDER BY h.rn LIMIT 1
+          ) n
+        )
+        SELECT conv_id, turn_idx, strftime(ts, '{TS_FMT_DUCK}') AS fire_ts FROM fire
+    """,
+    "cep_sequence_pairs": f"""
+        WITH m AS (
+          SELECT DISTINCT conv_id, turn_idx, ts, rule_id
+          FROM ({_SQL_DOC_MATCHES}) WHERE rule_id IN ('merge_batch','big_table')
+        ), x AS (
+          SELECT *,
+            last_value(CASE WHEN rule_id='merge_batch' THEN ts END IGNORE NULLS)
+              OVER w AS a_ts,
+            last_value(CASE WHEN rule_id='merge_batch' THEN turn_idx END IGNORE NULLS)
+              OVER w AS a_turn_idx
+          FROM m WINDOW w AS (PARTITION BY conv_id
+            ORDER BY ts, turn_idx, CASE WHEN rule_id='big_table' THEN 1 ELSE 0 END
+            ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT conv_id, CAST(a_turn_idx AS INTEGER) AS a_turn_idx,
+               turn_idx AS b_turn_idx,
+               strftime(a_ts, '{TS_FMT_DUCK}') AS a_fire_ts,
+               strftime(ts, '{TS_FMT_DUCK}') AS b_fire_ts
+        FROM x WHERE rule_id = 'big_table' AND a_ts IS NOT NULL
+          AND ts - a_ts <= INTERVAL 7200 SECOND
+    """,
+    "cep_session_convs": f"""
+        WITH t AS ({_SQL_DOC_TURNS}), o AS (
+          SELECT conv_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+        ), s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT conv_id, strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY conv_id, sid
+    """,
+    "window_tumbling_1h": f"""
+        SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+               event_type, count(*) AS n_events,
+               round(round(sum(value), 6), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "window_sliding_1h_30m": f"""
+        SELECT strftime(make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000),
+                        '{TS_FMT_DUCK}') AS window_start,
+               event_type, count(*) AS n_events,
+               round(round(sum(value), 6), 4) AS sum_value
+        FROM events, (VALUES (0),(1)) off(k)
+        GROUP BY 1, 2
+    """,
+    "window_session_30m": f"""
+        WITH o AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT user_id, strftime(min(ts), '{TS_FMT_DUCK_US}') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK_US}') AS session_end,
+               count(*) AS n_events,
+               round(round(sum(value), 6), 4) AS sum_value
+        FROM s GROUP BY user_id, sid
+    """,
+    "sequence_signup_purchase": f"""
+        WITH e AS (
+          SELECT user_id, event_id, ts, event_type FROM events
+          WHERE event_type IN ('signup', 'purchase')
+        ), x AS (
+          SELECT *,
+            last_value(CASE WHEN event_type='signup' THEN ts END IGNORE NULLS)
+              OVER w AS a_ts,
+            last_value(CASE WHEN event_type='signup' THEN event_id END IGNORE NULLS)
+              OVER w AS a_id
+          FROM e WINDOW w AS (PARTITION BY user_id
+            ORDER BY ts, event_id, CASE WHEN event_type='purchase' THEN 1 ELSE 0 END
+            ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT user_id, CAST(a_id AS INTEGER) AS signup_event_id,
+               CAST(event_id AS INTEGER) AS purchase_event_id,
+               strftime(a_ts, '{TS_FMT_DUCK_US}') AS a_ts,
+               strftime(ts, '{TS_FMT_DUCK_US}') AS b_ts
+        FROM x WHERE event_type='purchase' AND a_ts IS NOT NULL
+          AND ts - a_ts <= INTERVAL 3600 SECOND
+    """,
+    "interval_join_error_click": """
+        SELECT a.user_id AS user_id, a.event_id AS error_id, b.event_id AS click_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'error' AND b.event_type = 'click'
+         AND b.ts >= a.ts - INTERVAL 5 MINUTE
+         AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+    "topk_events_per_user": """
+        SELECT user_id, event_id, round(value, 2) AS value, CAST(rnk AS INTEGER) AS rnk
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id) AS rnk
+          FROM events
+        ) WHERE rnk <= 3
+    """,
+    "dedup_first_event_per_minute": f"""
+        SELECT user_id, event_type,
+               strftime(date_trunc('minute', ts), '{TS_FMT_DUCK}') AS minute,
+               min(event_id) AS first_event_id
+        FROM events GROUP BY 1, 2, 3
+    """,
+    "props_k_stats": """
+        SELECT event_type,
+               round(avg(k), 4) AS avg_k,
+               min(k) AS min_k, max(k) AS max_k
+        FROM (SELECT event_type,
+                     CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k
+              FROM events)
+        GROUP BY event_type
+    """,
+    "events_rollup": """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(day, 'ALL') AS day,
+               count(*) AS n_events
+        FROM (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+              FROM events)
+        GROUP BY ROLLUP (event_type, day)
+    """,
+    "tpch_q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3_top_revenue": """
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, revenue
+        FROM (
+          SELECT o_orderkey, o_orderdate,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+            AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+          GROUP BY o_orderkey, o_orderdate
+          ORDER BY revenue DESC, o_orderkey LIMIT 10
+        )
+    """,
+    "tpch_q5_nation_revenue": """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN supplier ON s_nationkey = n_nationkey
+        JOIN lineitem ON l_suppkey = s_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "tpch_q4_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey
+                        AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00')
+        GROUP BY o_orderpriority
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_nationkey
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_totalprice > 300000)
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5
+        FROM documents
+    """,
+    "dedup_exact_stats": """
+        SELECT count(*) AS n_docs,
+               count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+                 AS n_distinct
+        FROM documents
+    """,
+    "ngram_jaccard_pairs": """
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words FROM documents
+        ), g AS (
+          SELECT DISTINCT doc_id,
+                 words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+          FROM w, UNNEST(range(1, len(words) - 1)) t(i)
+          WHERE len(words) >= 3
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+                 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+    """,
+    "text_quality": """
+        WITH x AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INTEGER) AS n_punct
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens_ws,
+               round(CAST(len(list_filter(toks, t -> list_contains(
+                 ['the','and','of','to','is','in','that','it'], lower(t))))
+                 AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+               round(CAST(n_punct AS DOUBLE) / greatest(length(text), 1), 6)
+                 AS punct_ratio,
+               round(
+                 (CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(length(text),1) <= 0.2
+                       THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN CAST(length(regexp_replace(text,'\\s+','','g')) AS DOUBLE)
+                            / len(toks) BETWEEN 2 AND 12
+                       THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+        FROM x
+    """,
+    "lang_id_pred": """
+        WITH s AS (
+          SELECT doc_id,
+            list_transform(regexp_split_to_array(trim(text), '\s+'), t -> lower(t)) AS toks
+          FROM documents
+        ), sc AS (
+          SELECT doc_id,
+            len(list_filter(toks, t -> list_contains(
+              ['the','and','of','to','is','in','that','it'], t))) AS s_en,
+            len(list_filter(toks, t -> list_contains(
+              ['der','die','das','und','ist','nicht','ich','zu'], t))) AS s_de,
+            len(list_filter(toks, t -> list_contains(
+              ['le','la','les','et','est','une','je','pas'], t))) AS s_fr,
+            len(list_filter(toks, t -> list_contains(
+              ['el','la','los','y','es','una','que','no'], t))) AS s_es,
+            len(list_filter(toks, t -> list_contains(
+              ['的','是','了','在','我','有','和','不'], t))) AS s_zh
+          FROM s
+        )
+        SELECT doc_id,
+          CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+               WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+               WHEN s_de = greatest(s_de,s_fr,s_es,s_zh) THEN 'de'
+               WHEN s_fr = greatest(s_fr,s_es,s_zh) THEN 'fr'
+               WHEN s_es = greatest(s_es,s_zh) THEN 'es'
+               ELSE 'zh' END AS lang_pred
+        FROM sc
+    """,
+    "token_stats_by_lang": """
+        SELECT lang, count(*) AS n_docs,
+               round(avg(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)), 4)
+                 AS avg_tokens,
+               CAST(sum(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))) AS BIGINT)
+                 AS total_bpe_tokens
+        FROM documents GROUP BY lang
+    """,
+    "embedding_cosine_query": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim
+        FROM embeddings, q
+        WHERE round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) >= 0.25
+          AND vec_id <> 0
+    """,
+    "embedding_neardup_pairs": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6) >= 0.30
+    """,
+}
+
+def build_queries() -> dict:
+    qs = {
+        "cep_match_actions": q_cep_match_actions,
+        "cep_match_counts": q_cep_match_counts,
+        "cep_fallback_classify": q_cep_fallback_classify,
+        "cep_cooldown_fires": q_cep_cooldown_fires,
+        "cep_sequence_pairs": q_cep_sequence_pairs,
+        "cep_session_convs": q_cep_session_convs,
+        "window_tumbling_1h": q_window_tumbling_1h,
+        "window_sliding_1h_30m": q_window_sliding_1h_30m,
+        "window_session_30m": q_window_session_30m,
+        "sequence_signup_purchase": q_sequence_signup_purchase,
+        "interval_join_error_click": q_interval_join_error_click,
+        "topk_events_per_user": q_topk_events_per_user,
+        "dedup_first_event_per_minute": q_dedup_first_event_per_minute,
+        "props_k_stats": q_props_k_stats,
+        "events_rollup": q_events_rollup,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
+        "tpch_q5_nation_revenue": q_tpch_q5_nation_revenue,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "customers_without_orders": q_customers_without_orders,
+        "doc_fingerprints": q_doc_fingerprints,
+        "dedup_exact_stats": q_dedup_exact_stats,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "text_quality": q_text_quality,
+        "lang_id_pred": q_lang_id_pred,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "embedding_cosine_query": q_embedding_cosine_query,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        # rows-only (hash-based / stateful / UDF -- no SQL oracle)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "cep_transcripts_flagship": q_cep_transcripts_flagship,
+        "multimodal_features": q_multimodal_features,
+    }
+    return qs
