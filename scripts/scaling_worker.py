@@ -1,0 +1,65 @@
+"""One scaling-bench run at a fixed parallelism. Invoked as a
+subprocess (a JVM cannot change its master once started):
+
+    python scripts/scaling_worker.py <cpus> <input_dir> [mode]
+
+Prints one JSON line: {"cpus", "batch_s", "stream_s", "n_turns",
+"n_actions"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from logeventprocessor_spark.pipeline import match_actions  # noqa: E402
+from logeventprocessor_spark.rules import canonical_rules  # noqa: E402
+from logeventprocessor_spark.session import get_spark  # noqa: E402
+
+
+def main():
+    cpus = int(sys.argv[1])
+    input_dir = sys.argv[2]
+    spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    rules = canonical_rules()
+    turns = spark.read.parquet(input_dir)
+    n_turns = turns.count()  # warm file listing + page cache
+
+    t0 = time.time()
+    n_actions = match_actions(turns, rules, with_cooldown=True).count()
+    batch_s = time.time() - t0
+
+    from logeventprocessor_spark.streaming.pipeline import start_pipeline
+
+    tmp = tempfile.mkdtemp(prefix=f"scale{cpus}_")
+    try:
+        t0 = time.time()
+        q, _ = start_pipeline(
+            spark, input_dir, rules,
+            out_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
+            watermark="10 minutes", max_files_per_trigger=None,
+        )
+        q.awaitTermination(3600)
+        stream_s = time.time() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps({
+        "cpus": cpus,
+        "batch_s": round(batch_s, 3),
+        "stream_s": round(stream_s, 3),
+        "n_turns": n_turns,
+        "n_actions": n_actions,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
