@@ -65,21 +65,22 @@ def stream_cooldown(matches: DataFrame, rules: list[Rule]) -> DataFrame:
     cooldowns = {r.rule_id: r.cooldown_ms for r in rules if r.cooldown_ms > 0}
     if not cooldowns:
         return matches
-    max_cd = max(cooldowns.values())
+
+    # zero-cooldown rules bypass the stateful operator entirely: no
+    # shuffle, no per-key state, no Python group calls for them
+    hot = matches.filter(F.col("rule_id").isin(list(cooldowns.keys())))
+    cold = matches.filter(~F.col("rule_id").isin(list(cooldowns.keys())))
 
     def fn(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
         conv_id, rule_id = key
-        cd = cooldowns.get(rule_id)
+        cd = cooldowns[rule_id]
         pdfs = [p for p in pdf_iter if not p.empty]
         if not pdfs:
             return
         g = pd.concat(pdfs, ignore_index=True)
-        if cd is None:  # zero-cooldown rule: pass through, no state
-            yield g
-            return
         g = g.sort_values(["ts", "turn_idx"], kind="mergesort")
         last = state.getOption
         last_ns = last[0] if last is not None else None
@@ -94,13 +95,14 @@ def stream_cooldown(matches: DataFrame, rules: list[Rule]) -> DataFrame:
         if len(kept):
             yield kept
 
-    return matches.groupBy("conv_id", "rule_id").applyInPandasWithState(
+    survived = hot.groupBy("conv_id", "rule_id").applyInPandasWithState(
         fn,
         outputStructType=MATCHES_SCHEMA,
         stateStructType=COOLDOWN_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+    return cold.unionByName(survived)
 
 
 SEQUENCE_SCHEMA = T.StructType(
