@@ -186,6 +186,83 @@ def stream_sequence_detect(
     )
 
 
+def stream_join_context(
+    matches: DataFrame,
+    turns: DataFrame,
+    watermark: str = "10 minutes",
+    join_window: str = "10 minutes",
+) -> DataFrame:
+    """T5 as a true stateful STREAM-STREAM join: re-attach full turn
+    context (role, tool) to the matched-events stream. Both sides carry
+    watermarks; the time-range predicate bounds the join state so Spark
+    can evict buffered rows (mandatory at 10^12-turn scale).
+
+    Reference analog: actions carry the original logLine forward
+    (ActionManager.h:22, set at ActionManager.cpp:82).
+    """
+    m = matches.withWatermark("ts", watermark).alias("m")
+    t = (
+        turns.select("conv_id", "turn_idx", "role", "tool",
+                     F.col("ts").alias("turn_ts"))
+        .withWatermark("turn_ts", watermark)
+        .alias("t")
+    )
+    return m.join(
+        t,
+        F.expr(
+            f"""m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+                AND t.turn_ts BETWEEN m.ts - INTERVAL {join_window}
+                                  AND m.ts + INTERVAL {join_window}"""
+        ),
+        "inner",
+    ).select(
+        "m.conv_id", "m.turn_idx", "m.rule_id", "m.rule_idx",
+        "m.extracted", "m.text", "m.ts", "t.role", "t.tool",
+    )
+
+
+def start_pipeline_with_reload(
+    spark: SparkSession,
+    input_dir: str,
+    rules_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = 1,
+):
+    """T8 hot config reload: rules are re-loaded from YAML at the top
+    of EVERY micro-batch (the reference polls config mtime and swaps
+    the rule set atomically, main.cpp:185-241; micro-batch granularity
+    is the Spark-native equivalent). The whole match->cooldown->render
+    pipeline runs inside foreachBatch so a rule edit takes effect on
+    the next batch without restarting the query.
+
+    Note: batch-mode cooldown within each micro-batch (state does not
+    cross batches here -- the tradeoff for swappable rules; use
+    start_pipeline for cross-batch state with a fixed rule set).
+    """
+    from logeventprocessor_spark.pipeline import match_actions
+    from logeventprocessor_spark.rules import load_rules_yaml
+
+    sink = ParquetUpsertSink(out_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rules = load_rules_yaml(rules_path)
+        acts = match_actions(batch_df, rules, with_cooldown=True)
+        sink.write(acts, batch_id)
+
+    stream = read_transcripts_stream(spark, input_dir, max_files_per_trigger)
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    return q, sink
+
+
 def build_match_stream(
     stream: DataFrame,
     rules: list[Rule],

@@ -1,0 +1,221 @@
+"""Stream-stream context join (T5), hot rule reload (T8), metrics
+listener + observe (K5), streaming windowed aggregation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from logeventprocessor_spark.generator import (
+    make_transcripts,
+    transcripts_df,
+    write_transcripts_parquet,
+)
+from logeventprocessor_spark.operators.match import match_turns
+from logeventprocessor_spark.rules import canonical_rules
+from logeventprocessor_spark.streaming.metrics import (
+    JsonProgressListener,
+    with_observed_counters,
+)
+from logeventprocessor_spark.streaming.pipeline import (
+    read_transcripts_stream,
+    start_pipeline_with_reload,
+    stream_join_context,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_input(tmp_path_factory):
+    base = tmp_path_factory.mktemp("extras")
+    pdf = make_transcripts(n_convs=12, seed=42)
+    input_dir = str(base / "input")
+    write_transcripts_parquet(pdf, input_dir, n_files=3)
+    return pdf, input_dir, base
+
+
+def test_stream_stream_context_join(spark, stream_input, tmp_path):
+    """Matches stream joined back to the turns stream recovers
+    role/tool for every match (batch equivalence check)."""
+    pdf, input_dir, _ = stream_input
+    rules = canonical_rules()
+    stream = read_transcripts_stream(spark, input_dir, max_files_per_trigger=1)
+    m = match_turns(stream, rules)
+    joined = stream_join_context(m, stream)
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx", "rule_idx"])
+        .reset_index(drop=True)
+    )
+    # batch truth: matches joined to the original turns
+    bm = match_turns(transcripts_df(spark, pdf), rules).toPandas()
+    exp = bm.merge(
+        pdf[["conv_id", "turn_idx", "role", "tool"]], on=["conv_id", "turn_idx"]
+    ).sort_values(["conv_id", "turn_idx", "rule_idx"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "rule_id", "role", "tool"]],
+        exp[["conv_id", "turn_idx", "rule_id", "role", "tool"]],
+    )
+
+
+def test_hot_rule_reload(spark, stream_input, tmp_path):
+    """Rules re-read per micro-batch: edit the YAML between runs and
+    the next batches use the new rule set on the same checkpoint."""
+    pdf, _, _ = stream_input
+    rules_path = str(tmp_path / "rules.yaml")
+    v1 = """
+regex_rules:
+  - name: clarice_rule
+    pattern: ".*clarice.*"
+    action_type: keystroke
+    action_value: "g woot"
+"""
+    v2 = v1 + """
+  - name: error_rule
+    pattern: ".*\\\\[ERROR\\\\].*"
+    action_type: keystroke
+    action_value: "f1"
+"""
+    input_dir = str(tmp_path / "input")
+    os.makedirs(input_dir)
+    files = write_transcripts_parquet(pdf, str(tmp_path / "stage"), n_files=2)
+    import shutil
+
+    with open(rules_path, "w") as f:
+        f.write(v1)
+    shutil.copy(files[0], input_dir)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q, sink = start_pipeline_with_reload(spark, input_dir, rules_path, out, ckpt)
+    q.awaitTermination(300)
+    first = sink.read(spark).toPandas()
+    assert set(first["rule_id"]) == {"clarice_rule"}
+
+    with open(rules_path, "w") as f:
+        f.write(v2)
+    shutil.copy(files[1], input_dir)
+    q, sink = start_pipeline_with_reload(spark, input_dir, rules_path, out, ckpt)
+    q.awaitTermination(300)
+    second = sink.read(spark).toPandas()
+    assert "error_rule" in set(second["rule_id"]), "new rule active after reload"
+    # rows from batch 1 are untouched (still only clarice matches there)
+    assert set(first["rule_id"]) == {"clarice_rule"}
+
+
+def test_observe_and_listener(spark, stream_input, tmp_path):
+    pdf, input_dir, _ = stream_input
+    rules = canonical_rules()
+    metrics_path = str(tmp_path / "progress.jsonl")
+    listener = JsonProgressListener(metrics_path)
+    spark.streams.addListener(listener)
+    try:
+        stream = read_transcripts_stream(spark, input_dir, max_files_per_trigger=1)
+        m = with_observed_counters(match_turns(stream, rules))
+        q = (
+            m.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        import time
+
+        time.sleep(2)  # listener events are async
+    finally:
+        spark.streams.removeListener(listener)
+    lines = [json.loads(x) for x in open(metrics_path)]
+    assert len(lines) >= 2
+    observed = [
+        ln["observed"]["engine_metrics"]
+        for ln in lines
+        if ln["observed"].get("engine_metrics")
+    ]
+    total_rows = sum(o["rows"] for o in observed)
+    exp_rows = match_turns(transcripts_df(spark, pdf), rules).count()
+    assert total_rows == exp_rows
+
+
+def test_streaming_tumbling_agg_drops_late_row(spark, tmp_path):
+    """F6 via a REAL watermark: a row whose event time is hours behind
+    the already-advanced watermark (late in ARRIVAL order, delivered in
+    a later micro-batch) is dropped by the windowed aggregation."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+                "role": ["user"] * len(rows),
+                "text": [r[2] for r in rows],
+                "tool": [""] * len(rows),
+                "ts": pd.to_datetime([r[3] for r in rows]).astype("datetime64[us]"),
+            }
+        )
+
+    input_dir = str(tmp_path / "input")
+    _os.makedirs(input_dir)
+    # batch 1: on-time rows advance the watermark to ~11:50
+    a = mk(
+        [
+            ("c1", 0, "x", "2024-03-01 10:00:00"),
+            ("c1", 1, "x", "2024-03-01 11:00:00"),
+            ("c1", 2, "x", "2024-03-01 12:00:00"),
+        ]
+    )
+    # batch 2: one on-time row + one 5-hours-late row (07:00 window)
+    b = mk(
+        [
+            ("c1", 3, "x", "2024-03-01 12:30:00"),
+            ("c2", 0, "late", "2024-03-01 07:00:00"),
+        ]
+    )
+    stream = read_transcripts_stream(spark, input_dir, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+
+    def run():
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1 advances the committed watermark to 11:50; the late row
+    # arrives in run 2 from the same checkpoint (watermark semantics:
+    # the filter uses the watermark committed by previous triggers)
+    a.to_parquet(f"{input_dir}/a.parquet", index=False)
+    run()
+    b.to_parquet(f"{input_dir}/b.parquet", index=False)
+    run()
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    windows = set(pd.to_datetime(got["ws"]))
+    assert pd.Timestamp("2024-03-01 07:00:00") not in windows, (
+        "late row must be dropped by the watermark"
+    )
+    closed = got.set_index(pd.to_datetime(got["ws"]))["n"].to_dict()
+    # the 10:00 and 11:00 windows are final (watermark passed them)
+    assert closed.get(pd.Timestamp("2024-03-01 10:00:00")) == 1
+    assert closed.get(pd.Timestamp("2024-03-01 11:00:00")) == 1
