@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "window_session_30m",
     "sequence_signup_purchase",
     "interval_join_error_click",
+    "asof_purchase_view",
     "topk_events_per_user",
     "tpch_q1_pricing",
     "tpch_q3_top_revenue",

@@ -45,6 +45,58 @@ from logeventprocessor_spark.schema import MATCHES_SCHEMA
 # rule-set fingerprint; lives per Python worker process (per executor).
 _COMPILED_CACHE: dict[tuple, list] = {}
 
+_META = set(".^$*+?()[]{}|\\")
+_ESCAPABLE = {c: c for c in ".^$*+?()[]{}|\\-/ "}
+
+
+def prefilter_literal(pattern: str) -> str | None:
+    """Longest literal substring REQUIRED by every match of ``pattern``
+    (lowercased), or None when none can be proven.
+
+    Used as a vectorized substring pre-filter: rows not containing the
+    literal cannot match, so the (much costlier) regex only runs on
+    candidates. Conservative rules:
+    * top-level alternation ('|') anywhere -> give up (a run inside one
+      branch is not required);
+    * a run followed by '?', '*' or '{0' has an optional last atom ->
+      trim the run's last char;
+    * escaped metachars (\\[ etc.) contribute their literal char.
+    """
+    if "|" in pattern:
+        return None
+    # an optional GROUP can hide a run's optionality from the
+    # next-char rule below ((abc)?def) -> give up on such patterns
+    if re.search(r"\)[?*]|\)\{0", pattern):
+        return None
+    runs: list[tuple[int, str]] = []  # (end_index_in_pattern, run_text)
+    cur: list[str] = []
+    i = 0
+    n = len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n and pattern[i + 1] in _ESCAPABLE:
+            cur.append(pattern[i + 1])
+            i += 2
+            continue
+        if c in _META:
+            if cur:
+                runs.append((i, "".join(cur)))
+                cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    if cur:
+        runs.append((n, "".join(cur)))
+    best = ""
+    for end, run in runs:
+        nxt = pattern[end] if end < n else ""
+        if nxt == "?" or nxt == "*" or (nxt == "{" and pattern[end:].startswith("{0")):
+            run = run[:-1]  # last atom optional
+        if len(run) > len(best):
+            best = run
+    return best.lower() if len(best) >= 3 else None
+
 
 def _rules_payload(rules: list[Rule]) -> tuple:
     """Plain-tuple form of the enabled rules (picklable, hashable)."""
@@ -65,7 +117,7 @@ def _compiled(payload: tuple) -> list:
             extract_pat = (
                 pat if pat.groups >= 1 else re.compile(f"({pattern})", re.IGNORECASE)
             )
-            got.append((rule_id, rule_idx, pat, extract_pat))
+            got.append((rule_id, rule_idx, pat, extract_pat, prefilter_literal(pattern)))
         _COMPILED_CACHE.clear()  # only one live rule set per worker
         _COMPILED_CACHE[payload] = got
     return got
@@ -83,18 +135,30 @@ def match_turns(turns: DataFrame, rules: list[Rule]) -> DataFrame:
             if pdf.empty:
                 continue
             text = pdf["text"].fillna("")
+            # one lowercase pass shared by every rule's literal
+            # pre-filter (substring scan ~10x cheaper than the regex)
+            lowered = text.str.lower()
             outs = []
-            for rule_id, rule_idx, pat, extract_pat in compiled:
+            for rule_id, rule_idx, pat, extract_pat, literal in compiled:
+                cand = text
+                cand_idx = None
+                if literal is not None:
+                    pre = lowered.str.contains(literal, regex=False, na=False)
+                    if not pre.any():
+                        continue
+                    cand = text[pre]
+                    cand_idx = pre
                 with warnings.catch_warnings():
                     # pandas warns that a grouped pattern in contains()
                     # discards groups -- intended: groups are read in
                     # the extract() pass below.
                     warnings.simplefilter("ignore", UserWarning)
-                    mask = text.str.contains(pat, na=False)
-                if not mask.any():
+                    sub_mask = cand.str.contains(pat, na=False)
+                if not sub_mask.any():
                     continue
-                sub = pdf.loc[mask, ["conv_id", "turn_idx", "text", "ts"]].copy()
-                ext = text[mask].str.extract(extract_pat, expand=True).iloc[:, 0]
+                matched = cand[sub_mask]
+                sub = pdf.loc[matched.index, ["conv_id", "turn_idx", "text", "ts"]].copy()
+                ext = matched.str.extract(extract_pat, expand=True).iloc[:, 0]
                 sub["rule_id"] = rule_id
                 sub["rule_idx"] = rule_idx
                 sub["extracted"] = ext.fillna("").values

@@ -476,6 +476,40 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     return S.brute_force_pairs(_emb(spark, sf_dir), threshold=0.30)
 
 
+def q_asof_purchase_view(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest preceding
+    view within 2 h (oracle: DuckDB native ASOF JOIN)."""
+    from logeventprocessor_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    j = asof_join(p, v, key="user_id", right_cols=["view_id"],
+                  tolerance_ms=7_200_000)
+    return j.filter(F.col("asof_view_id").isNotNull()).select(
+        "user_id",
+        "purchase_id",
+        F.col("asof_view_id").alias("view_id"),
+        F.date_format("ts", TS_FMT_SPARK_US).alias("purchase_ts"),
+        F.date_format("asof_ts", TS_FMT_SPARK_US).alias("view_ts"),
+    )
+
+
+def q_set_ops_users(spark, sf_dir):
+    """Set operators: users with a signup and NO purchase (EXCEPT) plus
+    users with both (INTERSECT), labeled."""
+    e = _events(spark, sf_dir)
+    s = e.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    p = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = s.intersect(p).withColumn("cohort", F.lit("signup_and_purchase"))
+    only = s.exceptAll(p).withColumn("cohort", F.lit("signup_only"))
+    return both.unionByName(only)
+
+
 # --------------------------------------------------------------------
 # rows-only queries (no SQL-expressible oracle: hashing/stateful/UDF)
 # --------------------------------------------------------------------
@@ -690,6 +724,27 @@ ORACLES: dict[str, str] = {
               FROM events)
         GROUP BY ROLLUP (event_type, day)
     """,
+    "asof_purchase_view": f"""
+        SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+               v.event_id AS view_id,
+               strftime(p.ts, '{TS_FMT_DUCK_US}') AS purchase_ts,
+               strftime(v.ts, '{TS_FMT_DUCK_US}') AS view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+        WHERE p.ts - v.ts <= INTERVAL 2 HOUR
+    """,
+    "set_ops_users": """
+        SELECT user_id, 'signup_and_purchase' AS cohort
+        FROM (SELECT DISTINCT user_id FROM events WHERE event_type='signup'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events WHERE event_type='purchase')
+        UNION ALL
+        SELECT user_id, 'signup_only' AS cohort
+        FROM (SELECT DISTINCT user_id FROM events WHERE event_type='signup'
+              EXCEPT
+              SELECT DISTINCT user_id FROM events WHERE event_type='purchase')
+    """,
     "tpch_q1_pricing": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -876,6 +931,8 @@ def build_queries() -> dict:
         "tpch_q5_nation_revenue": q_tpch_q5_nation_revenue,
         "tpch_q4_priority": q_tpch_q4_priority,
         "customers_without_orders": q_customers_without_orders,
+        "asof_purchase_view": q_asof_purchase_view,
+        "set_ops_users": q_set_ops_users,
         "doc_fingerprints": q_doc_fingerprints,
         "dedup_exact_stats": q_dedup_exact_stats,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -66,11 +66,6 @@ def stream_cooldown(matches: DataFrame, rules: list[Rule]) -> DataFrame:
     if not cooldowns:
         return matches
 
-    # zero-cooldown rules bypass the stateful operator entirely: no
-    # shuffle, no per-key state, no Python group calls for them
-    hot = matches.filter(F.col("rule_id").isin(list(cooldowns.keys())))
-    cold = matches.filter(~F.col("rule_id").isin(list(cooldowns.keys())))
-
     def fn(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
             state.remove()
@@ -95,14 +90,17 @@ def stream_cooldown(matches: DataFrame, rules: list[Rule]) -> DataFrame:
         if len(kept):
             yield kept
 
-    survived = hot.groupBy("conv_id", "rule_id").applyInPandasWithState(
+    # callers route only cooldown-bearing matches here (see
+    # build_match_stream); any zero-cooldown stragglers pass through
+    # the state fn untouched would be wrong, so filter defensively
+    hot = matches.filter(F.col("rule_id").isin(list(cooldowns.keys())))
+    return hot.groupBy("conv_id", "rule_id").applyInPandasWithState(
         fn,
         outputStructType=MATCHES_SCHEMA,
         stateStructType=COOLDOWN_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    return cold.unionByName(survived)
 
 
 SEQUENCE_SCHEMA = T.StructType(
@@ -184,6 +182,29 @@ def stream_sequence_detect(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def dedup_stream(stream: DataFrame, keys: list[str]) -> DataFrame:
+    """T7 (the email-UID dedup, EmailMonitor.cs:214-217) as a streaming
+    operator: drop duplicate keys within the watermark horizon --
+    bounded state, exact within the horizon. Requires a watermark
+    upstream."""
+    return stream.dropDuplicatesWithinWatermark(keys)
+
+
+def union_response_stream(
+    turns: DataFrame, responses: DataFrame
+) -> DataFrame:
+    """S4 (the email-response feedback ingress): a second source stream
+    unioned into the turn stream. ``responses`` must be transcript-
+    shaped (role='response'); each source keeps its own watermark
+    upstream; Spark takes the min across inputs."""
+    return turns.unionByName(responses)
+
+
+def drop_empty_turns(stream: DataFrame) -> DataFrame:
+    """F1 (LogReader.cpp:102): empty lines never become events."""
+    return stream.filter(F.length(F.trim(F.col("text"))) > 0)
 
 
 def stream_join_context(
@@ -272,12 +293,25 @@ def build_match_stream(
     """source stream -> rendered action rows (unsunk)."""
     if late_cutoff is not None:
         stream = stream.filter(F.col("ts") >= F.lit(late_cutoff))
-    m = match_turns(stream, rules)
-    # the watermark must sit on the stateful operator's direct input:
-    # mapInPandas produces a fresh event-time column, so the marker is
-    # (re)declared here on the matches stream
-    m = m.withWatermark("ts", watermark)
-    m = stream_cooldown(m, rules)
+    # the DAG forks per branch and each branch re-executes its lineage
+    # per micro-batch, so split the RULE SET (not the match output):
+    # each branch regexes only its own rules -- total regex CPU stays
+    # one-pass even though the (cheap, columnar) source scan runs per
+    # branch
+    hot_rules = [r for r in rules if r.enabled and r.cooldown_ms > 0]
+    cold_rules = [r for r in rules if r.enabled and r.cooldown_ms == 0]
+    parts = []
+    if cold_rules:
+        parts.append(match_turns(stream, cold_rules))
+    if hot_rules:
+        # the watermark must sit on the stateful operator's direct
+        # input: mapInPandas produces a fresh event-time column, so
+        # the marker is (re)declared on the matches stream
+        mh = match_turns(stream, hot_rules).withWatermark("ts", watermark)
+        parts.append(stream_cooldown(mh, hot_rules))
+    m = parts[0]
+    for p in parts[1:]:
+        m = m.unionByName(p)
     return expand_steps(m, rules)
 
 

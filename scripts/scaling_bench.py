@@ -44,55 +44,85 @@ def main():
     write_transcripts_parquet(pdf, f"{tmp}/turns", n_files=64)
     del pdf
 
-    r8 = run_at(8, f"{tmp}/turns")
-    r32 = run_at(32, f"{tmp}/turns")
-
     def thr(r, key):
         return r["n_turns"] / r[key]
 
-    eff_batch = (thr(r32, "batch_s") / thr(r8, "batch_s")) / 4
-    eff_stream = (thr(r32, "stream_s") / thr(r8, "stream_s")) / 4
+    # two N->4N pairs: (4,16) leaves headroom for the JVM + Python
+    # worker processes on the 32-core host; (8,32) saturates it (each
+    # "core" runs a JVM task thread AND a Python worker, so local[32]
+    # oversubscribes -- reported anyway for transparency)
+    pairs = [(4, 16), (8, 32)]
+    runs: dict[int, dict] = {}
+    for n, n4 in pairs:
+        for c in (n, n4):
+            if c not in runs:
+                runs[c] = run_at(c, f"{tmp}/turns")
 
     result = {
         "n_turns": n_turns,
-        "n_actions": r32["n_actions"],
-        "local8": r8,
-        "local32": r32,
-        "batch_turns_per_sec_8": round(thr(r8, "batch_s"), 1),
-        "batch_turns_per_sec_32": round(thr(r32, "batch_s"), 1),
-        "stream_turns_per_sec_8": round(thr(r8, "stream_s"), 1),
-        "stream_turns_per_sec_32": round(thr(r32, "stream_s"), 1),
-        "scaling_efficiency_batch": round(eff_batch, 3),
-        "scaling_efficiency_stream": round(eff_stream, 3),
+        "n_actions": next(iter(runs.values()))["n_actions"],
+        "runs": {f"local{c}": r for c, r in runs.items()},
+        "throughput": {
+            f"local{c}": {
+                "batch_turns_per_sec": round(thr(r, "batch_s"), 1),
+                "stream_turns_per_sec": round(thr(r, "stream_s"), 1),
+            }
+            for c, r in runs.items()
+        },
+        "pairs": {},
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
+    for n, n4 in pairs:
+        result["pairs"][f"{n}->{n4}"] = {
+            "scaling_efficiency_batch": round(
+                (thr(runs[n4], "batch_s") / thr(runs[n], "batch_s")) / 4, 3
+            ),
+            "scaling_efficiency_stream": round(
+                (thr(runs[n4], "stream_s") / thr(runs[n], "stream_s")) / 4, 3
+            ),
+        }
     print(json.dumps(result, indent=2))
+    r8, r32 = runs[8], runs[32]
+    eff = result["pairs"]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    rows = "\n".join(
+        f"| local[{c}] | {r['batch_s']} s | "
+        f"{result['throughput'][f'local{c}']['batch_turns_per_sec']} | "
+        f"{r['stream_s']} s | "
+        f"{result['throughput'][f'local{c}']['stream_turns_per_sec']} |"
+        for c, r in sorted(runs.items())
+    )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — measured performance of the engine
 
 Protocol (BASELINE.md): identical deterministic transcript stream
-(seed=42, {n_turns} turns, {r32['n_actions']} match-output rows),
+(seed=42, {n_turns} turns, {result['n_actions']} match-output rows),
 identical rule set (canonical corpus incl. cooldown rule), same input
-parquet ({64} files), run at two parallelism levels in separate JVMs
-as the sandbox proxy for N vs 4N executors.
+parquet (64 files), run WARM (one warm-up execution, median of 3)
+at each parallelism level in separate JVMs — the sandbox proxy for
+N vs 4N executors.
 
 | config | batch pipeline | batch turns/s | streaming pipeline | stream turns/s |
 |---|---|---|---|---|
-| local[8]  | {r8['batch_s']} s | {result['batch_turns_per_sec_8']} | {r8['stream_s']} s | {result['stream_turns_per_sec_8']} |
-| local[32] | {r32['batch_s']} s | {result['batch_turns_per_sec_32']} | {r32['stream_s']} s | {result['stream_turns_per_sec_32']} |
+{rows}
 
 **Scaling efficiency (thr_4N / thr_N) / 4:**
-batch = {result['scaling_efficiency_batch']}, streaming = {result['scaling_efficiency_stream']}
-(target >= 0.8 per BASELINE.json north_rule; local-mode caveat: all
-"executors" share one JVM heap, one shuffle disk, and Python worker
-startup, so local scaling understates multi-node scaling for this
-shuffle-light pipeline).
+
+| pair | batch | streaming |
+|---|---|---|
+| local[4] -> local[16] | {eff['4->16']['scaling_efficiency_batch']} | {eff['4->16']['scaling_efficiency_stream']} |
+| local[8] -> local[32] | {eff['8->32']['scaling_efficiency_batch']} | {eff['8->32']['scaling_efficiency_stream']} |
+
+Target >= 0.8 per BASELINE.json north_rule. Local-mode caveat: every
+"core" runs a JVM task thread AND a separate Python worker process, so
+local[32] on a 32-core host is 2x oversubscribed and bounds the 8->32
+pair below what distinct executors would achieve; the 4->16 pair fits
+the host and is the more faithful proxy.
 
 Raw: `{json.dumps(result)}`
 
-Measured {result['ts']} on local[8]/local[32], 32-core host.
+Measured {result['ts']} on a 32-core host.
 """)
     import shutil
 

@@ -32,24 +32,35 @@ def main():
     turns = spark.read.parquet(input_dir)
     n_turns = turns.count()  # warm file listing + page cache
 
-    t0 = time.time()
+    # measure WARM steady-state: run once to amortize Python-worker
+    # launch + JIT (a long-running cluster job is always warm), then
+    # take the median of 3 timed runs
     n_actions = match_actions(turns, rules, with_cooldown=True).count()
-    batch_s = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        match_actions(turns, rules, with_cooldown=True).count()
+        times.append(time.time() - t0)
+    batch_s = sorted(times)[1]
 
     from logeventprocessor_spark.streaming.pipeline import start_pipeline
 
-    tmp = tempfile.mkdtemp(prefix=f"scale{cpus}_")
-    try:
-        t0 = time.time()
-        q, _ = start_pipeline(
-            spark, input_dir, rules,
-            out_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
-            watermark="10 minutes", max_files_per_trigger=None,
-        )
-        q.awaitTermination(3600)
-        stream_s = time.time() - t0
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    def stream_once(tag):
+        tmp = tempfile.mkdtemp(prefix=f"scale{cpus}_{tag}_")
+        try:
+            t0 = time.time()
+            q, _ = start_pipeline(
+                spark, input_dir, rules,
+                out_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
+                watermark="10 minutes", max_files_per_trigger=None,
+            )
+            q.awaitTermination(3600)
+            return time.time() - t0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    stream_once("warm")
+    stream_s = stream_once("timed")
 
     print(json.dumps({
         "cpus": cpus,

@@ -1,0 +1,154 @@
+"""As-of join operator + streaming dedup-within-watermark (T7) +
+second-source union (S4) + empty-line filter (F1)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+from logeventprocessor_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", 1, datetime(2024,3,1,10,0,5)),
+            ("A", 2, datetime(2024,3,1,10,0,30)),
+            ("B", 3, datetime(2024,3,1,10,0,10)),
+            ("C", 4, datetime(2024,3,1,10,0,10)),  # no quotes at all
+        ],
+        "key string, trade_id int, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", 100, datetime(2024,3,1,10,0,0)),
+            ("A", 101, datetime(2024,3,1,10,0,5)),  # ties trade 1 ts
+            ("A", 102, datetime(2024,3,1,10,0,40)),  # after trade 2
+            ("B", 200, datetime(2024,3,1,9,0,0)),  # old
+        ],
+        "key string, quote_id int, ts timestamp",
+    )
+    return trades, quotes
+
+
+def test_asof_basic(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    got = (
+        asof_join(trades, quotes, key="key", right_cols=["quote_id"])
+        .toPandas()
+        .set_index("trade_id")
+    )
+    assert got.loc[1, "asof_quote_id"] == 101  # ts tie -> right visible
+    assert got.loc[2, "asof_quote_id"] == 101  # 102 is in the future
+    assert got.loc[3, "asof_quote_id"] == 200
+    assert pd.isna(got.loc[4, "asof_quote_id"])  # no right rows for C
+
+
+def test_asof_tolerance(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    got = (
+        asof_join(trades, quotes, key="key", right_cols=["quote_id"],
+                  tolerance_ms=60_000)
+        .toPandas()
+        .set_index("trade_id")
+    )
+    # B's only quote is 1h old -> outside the 60 s tolerance
+    assert pd.isna(got.loc[3, "asof_quote_id"])
+    assert got.loc[1, "asof_quote_id"] == 101
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    import os
+
+    from logeventprocessor_spark.streaming.pipeline import (
+        dedup_stream,
+        read_transcripts_stream,
+    )
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["c", "c", "c", "d"],
+            "turn_idx": pd.array([0, 0, 1, 0], dtype="int32"),  # dup (c,0)
+            "role": ["user"] * 4,
+            "text": ["a", "a-dup", "b", "x"],
+            "tool": [""] * 4,
+            "ts": pd.to_datetime(
+                ["2024-03-01 10:00:00"] * 2 + ["2024-03-01 10:01:00"] * 2
+            ).astype("datetime64[us]"),
+        }
+    )
+    rows.to_parquet(f"{input_dir}/f.parquet", index=False)
+    s = read_transcripts_stream(spark, input_dir).withWatermark("ts", "10 minutes")
+    d = dedup_stream(s, ["conv_id", "turn_idx"])
+    q = (
+        d.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(200)
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert len(got) == 3
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
+
+
+def test_union_second_source_and_empty_filter(spark, tmp_path):
+    import os
+
+    from logeventprocessor_spark.operators.match import match_turns
+    from logeventprocessor_spark.rules import canonical_rules
+    from logeventprocessor_spark.streaming.pipeline import (
+        drop_empty_turns,
+        read_transcripts_stream,
+        union_response_stream,
+    )
+
+    turns_dir, resp_dir = str(tmp_path / "t"), str(tmp_path / "r")
+    os.makedirs(turns_dir)
+    os.makedirs(resp_dir)
+    pd.DataFrame(
+        {
+            "conv_id": ["c", "c"],
+            "turn_idx": pd.array([0, 1], dtype="int32"),
+            "role": ["user", "user"],
+            "text": ["hello wide world", "   "],  # one empty-ish line
+            "tool": ["", ""],
+            "ts": pd.to_datetime(["2024-03-01 10:00:00"] * 2).astype("datetime64[us]"),
+        }
+    ).to_parquet(f"{turns_dir}/f.parquet", index=False)
+    pd.DataFrame(
+        {
+            "conv_id": ["c"],
+            "turn_idx": pd.array([100], dtype="int32"),
+            "role": ["response"],
+            "text": ["email test reply"],
+            "tool": [""],
+            "ts": pd.to_datetime(["2024-03-01 10:05:00"]).astype("datetime64[us]"),
+        }
+    ).to_parquet(f"{resp_dir}/f.parquet", index=False)
+
+    t = read_transcripts_stream(spark, turns_dir)
+    r = read_transcripts_stream(spark, resp_dir)
+    unioned = drop_empty_turns(union_response_stream(t, r))
+    m = match_turns(unioned, canonical_rules())
+    q = (
+        m.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(200)
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    fired = set(got["rule_id"])
+    assert "hello_world_response" in fired  # from the turns stream
+    assert "email_test" in fired  # from the response stream
+    assert 1 not in set(got["turn_idx"])  # empty line never matched

@@ -104,3 +104,60 @@ regex_rules:
     assert rules[1].steps[1].value == "g at delaying"
     assert rules[2].enabled is False
     assert [r.rule_idx for r in rules] == [0, 1, 2]
+
+
+def test_prefilter_literal_extraction():
+    from logeventprocessor_spark.operators.match import prefilter_literal
+
+    assert prefilter_literal(r".*hello ([^\s]+) world.*") in ("hello ", " world")
+    assert prefilter_literal(r".*\[ERROR\].*") == "[error]"
+    assert prefilter_literal(r"([^\s]+) tells you, '(.+)'") == " tells you, '"
+    assert prefilter_literal(r".*Attack my minions.*") == "attack my minions"
+
+
+def test_prefilter_literal_safety():
+    from logeventprocessor_spark.operators.match import prefilter_literal
+
+    # alternation: a branch literal is not required -> no prefilter
+    assert prefilter_literal(r"(foo|barbaz)") is None
+    assert prefilter_literal(r"abc|def") is None
+    # optional last atom: trimmed
+    assert prefilter_literal(r"abcde?f") in ("abcd", None)
+    assert prefilter_literal(r"abcde*") == "abcd"
+    assert prefilter_literal(r"abcde{0,3}") == "abcd"
+    # {1,...} keeps the atom required
+    assert prefilter_literal(r"abcde{1,3}") == "abcde"
+    # too short -> None
+    assert prefilter_literal(r"ab.*") is None
+
+
+def test_prefilter_never_drops_matches():
+    """Property: any string matching the pattern contains the literal
+    (case-insensitively)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logeventprocessor_spark.operators.match import prefilter_literal
+    from logeventprocessor_spark.rules import canonical_rules, document_rules
+
+    rules = canonical_rules() + document_rules()
+    pats = [(re.compile(r.pattern, re.IGNORECASE), prefilter_literal(r.pattern))
+            for r in rules]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=st.characters(codec="ascii"), max_size=80))
+    def check(s):
+        for pat, lit in pats:
+            if lit is not None and pat.search(s):
+                assert lit in s.lower()
+
+    check()
+
+
+def test_prefilter_optional_group_guard():
+    from logeventprocessor_spark.operators.match import prefilter_literal
+
+    assert prefilter_literal(r"(abc)?defg") is None  # abc is optional
+    assert prefilter_literal(r"(?:abcd)*xy") is None
