@@ -22,8 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from logeventprocessor_spark import queries as Q  # noqa: E402
 from logeventprocessor_spark.generator import (  # noqa: E402
-    make_transcripts,
-    transcripts_df,
+    make_transcripts_fast,
     write_transcripts_parquet,
 )
 from logeventprocessor_spark.pipeline import match_actions  # noqa: E402
@@ -33,9 +32,9 @@ from logeventprocessor_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# transcript-stream size scales with SF (sf0.1 -> ~120k turns)
+# transcript-stream size scales with SF (sf0.1 -> ~1M turns)
 _SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
-N_CONVS = max(200, int(20000 * _SF))
+N_CONVS = max(400, int(200_000 * _SF))
 MEAN_TURNS = 48
 
 BENCH_QUERIES = [
@@ -76,18 +75,19 @@ def main():
     t_total = time.time()
 
     # --- CEP batch pipeline on the generated transcript stream ---
-    pdf = make_transcripts(n_convs=N_CONVS, mean_turns=MEAN_TURNS, seed=42)
+    pdf = make_transcripts_fast(n_convs=N_CONVS, mean_turns=MEAN_TURNS, seed=42)
     n_turns = len(pdf)
     tmp = tempfile.mkdtemp(prefix="bench_")
     try:
-        write_transcripts_parquet(pdf, f"{tmp}/turns", n_files=max(CPUS, 8))
+        write_transcripts_parquet(pdf, f"{tmp}/turns", n_files=max(CPUS * 2, 16))
         del pdf
         rules = canonical_rules()
         turns = spark.read.parquet(f"{tmp}/turns")
         turns.count()  # warm the file listing / page cache
 
-        t0 = time.time()
         acts = match_actions(turns, rules, with_cooldown=True)
+        acts.count()  # warm Python workers + JIT (steady-state timing)
+        t0 = time.time()
         n_actions = acts.count()
         dt = time.time() - t0
         timings["cep_batch_pipeline"] = round(dt, 3)

@@ -128,6 +128,72 @@ def make_transcripts(
     return pdf.reset_index(drop=True)
 
 
+def make_transcripts_fast(
+    n_convs: int = 100_000,
+    mean_turns: int = 48,
+    seed: int = 42,
+    n_skewed: int = 50,
+    skew_factor: int = 20,
+) -> pd.DataFrame:
+    """Fully-vectorized (numpy) generator for BENCH-SCALE fixtures
+    (tens of millions of turns in seconds). Same schema and the same
+    statistical shape as ``make_transcripts`` (planted matches for the
+    canonical rules, skewed conversation lengths, per-conv
+    non-decreasing event time); not row-identical to the rich
+    generator -- tests use ``make_transcripts``, benchmarks use this.
+    """
+    rng = np.random.RandomState(seed)
+    lengths = rng.poisson(mean_turns, n_convs) + 2
+    if n_skewed:
+        lengths[:n_skewed] = lengths[:n_skewed] * skew_factor
+    n = int(lengths.sum())
+
+    conv_ids = np.repeat(np.arange(n_convs), lengths)
+    # turn_idx: 0..len-1 within each conversation
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    turn_idx = (np.arange(n) - np.repeat(starts, lengths)).astype("int32")
+
+    # event time: per-conv start + within-conv cumsum of gamma gaps
+    gaps = rng.gamma(2.0, 6.0, n) + 0.5
+    cum = np.cumsum(gaps)
+    conv_t0 = rng.randint(0, 3600, n_convs).astype("float64")
+    offsets = np.repeat(cum[starts] - gaps[starts] - conv_t0, lengths)
+    ts_sec = cum - offsets
+    # direct int64-us -> datetime64[us]: no pandas round-trip copies
+    ts = (
+        (BASE_TS.value // 1000 + ts_sec * 1_000_000).astype("int64")
+    ).view("datetime64[us]")
+
+    # text pool: fillers + pre-expanded plants (~20% planted).
+    # object dtype throughout: fancy-indexing a fixed-width U array
+    # would materialize rows*maxlen*4 bytes (8+ GB at 30M rows)
+    plants = [t.format(w=w, i=i) for t in _PLANTS
+              for w in _WORDS[:2] for i in (7, 21)] + ["spam ping alpha"]
+    pool = np.array(_FILLER * 3 + plants, dtype=object)
+    is_plant = turn_idx % 5 == 2
+    pool_idx = rng.randint(0, len(_FILLER) * 3, n)
+    plant_idx = rng.randint(len(_FILLER) * 3, len(pool), n)
+    text = pool[np.where(is_plant, plant_idx, pool_idx)]
+
+    roles = np.array(_ROLES, dtype=object)[rng.randint(0, len(_ROLES), n)]
+    tools = np.array(_TOOLS, dtype=object)[rng.randint(0, len(_TOOLS), n)]
+
+    return pd.DataFrame(
+        {
+            # format the 600k unique ids once, then fancy-index: np.char
+            # ops over the full row count are ~100x slower
+            "conv_id": np.array(
+                [f"conv_{i:07d}" for i in range(n_convs)], dtype=object
+            )[conv_ids],
+            "turn_idx": turn_idx,
+            "role": roles,
+            "text": text,
+            "tool": tools,
+            "ts": ts,
+        }
+    )
+
+
 def transcripts_df(spark, pdf: pd.DataFrame | None = None, **kwargs):
     """Transcripts as a Spark DataFrame (Arrow path)."""
     from logeventprocessor_spark.schema import TRANSCRIPTS_SCHEMA

@@ -50,18 +50,20 @@ class ParquetUpsertSink:
         with_part = df.withColumn("_part", F.spark_partition_id())
         # one action: write the batch directory (idempotent overwrite)
         with_part.write.mode("overwrite").parquet(self.batch_dir(batch_id))
-        # lineage: rows per partition of what was just written
-        spark = df.sparkSession
-        lineage = (
-            spark.read.parquet(self.batch_dir(batch_id))
-            .groupBy("_part")
-            .count()
-            .collect()
-        )
+        # lineage from parquet FOOTERS only (one file per write task):
+        # a read-back groupBy would rescan the whole batch
+        import pyarrow.parquet as pq
+
+        partitions: dict[int, int] = {}
+        bd = self.batch_dir(batch_id)
+        for i, name in enumerate(sorted(os.listdir(bd))):
+            if not name.endswith(".parquet"):
+                continue
+            partitions[i] = pq.ParquetFile(os.path.join(bd, name)).metadata.num_rows
         meta = {
             "batch_id": batch_id,
-            "rows": int(sum(r["count"] for r in lineage)),
-            "partitions": {int(r["_part"]): int(r["count"]) for r in lineage},
+            "rows": int(sum(partitions.values())),
+            "partitions": partitions,
             "write_s": round(time.time() - t0, 3),
             "ts": time.time(),
         }

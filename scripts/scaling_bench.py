@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from logeventprocessor_spark.generator import (  # noqa: E402
-    make_transcripts,
+    make_transcripts_fast,
     write_transcripts_parquet,
 )
 
@@ -27,21 +27,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_at(cpus: int, input_dir: str) -> dict:
+    env = dict(os.environ, SPARK_DRIVER_MEM="64g")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/scaling_worker.py"),
          str(cpus), input_dir],
-        capture_output=True, text=True, timeout=3600, cwd=REPO,
+        capture_output=True, text=True, timeout=3600, cwd=REPO, env=env,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
 
 def main():
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     tmp = tempfile.mkdtemp(prefix="scaling_")
-    pdf = make_transcripts(n_convs=n_convs, mean_turns=48, seed=42)
+    pdf = make_transcripts_fast(n_convs=n_convs, mean_turns=48, seed=42)
     n_turns = len(pdf)
-    write_transcripts_parquet(pdf, f"{tmp}/turns", n_files=64)
+    write_transcripts_parquet(pdf, f"{tmp}/turns", n_files=128)
     del pdf
 
     def thr(r, key):
