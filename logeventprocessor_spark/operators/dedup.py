@@ -79,18 +79,69 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard >= threshold, found via
-    an inverted-index self-join (pairs must share >= 1 shingle)."""
+    """Near-dup pairs by exact n-gram Jaccard >= threshold.
+
+    Candidate generation uses EXACT prefix filtering (Chaudhuri et al.,
+    SSJoin): order every doc's shingles by global document frequency
+    (rarest first); two docs with J >= t MUST share a shingle among
+    each one's first floor((1-t)*|S|)+1 shingles -- so the inverted-
+    index self-join runs only on those prefixes. This removes the
+    hot high-frequency shingle groups (the n^2 blowup) without losing
+    a single qualifying pair; the full intersection count then runs
+    only on surviving candidates.
+    """
     sh = shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("df", "shingle")
+                ),
+            )
+            .join(sizes, "doc_id")
+            .filter(
+                F.col("rk")
+                <= F.floor((1 - threshold) * F.col("n_sh")).cast("int") + 1
+            )
+            .select("doc_id", "shingle")
+        )
+        a, b = ranked.alias("a"), ranked.alias("b")
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        sa_ = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sb_ = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            cand.join(sa_, "doc_a")
+            .join(sb_, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -128,8 +179,8 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(
     df: DataFrame,
-    k: int = 16,
-    bands: int = 4,
+    k: int = 32,
+    bands: int = 8,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -137,7 +188,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash banding: docs sharing any band bucket become candidates;
     candidates are verified with EXACT n-gram Jaccard (no false
-    positives; recall is the banded-LSH probability curve)."""
+    positives; recall is the banded-LSH probability curve).
+
+    Default geometry k=32, b=8, r=4: the S-curve threshold
+    (1/b)^(1/r) ~= 0.59 sits at the default Jaccard threshold, so
+    dissimilar pairs (J~0.3) become candidates with p~0.06 instead of
+    the p~0.5 a 2-row band would give -- candidate volume is what
+    dominates cost on corpora where everything is mildly similar."""
     assert k % bands == 0
     rows = k // bands
     sig = minhash_signatures(df, k, id_col, text_col, n)
@@ -162,25 +219,18 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # verify candidates with exact Jaccard (inverted-index restricted
-    # to candidate docs only)
-    sh = shingles(df, id_col, text_col, n)
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select("doc_b"))
-        .distinct()
-    )
-    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
-    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # verify candidates with exact Jaccard, candidate-driven: join the
+    # candidate PAIRS to the shingle lists (cand x |A| rows) instead of
+    # re-exploding the full inverted index over candidate docs
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa_ = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb_ = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        sh_c.alias("x")
-        .join(sh_c.alias("y"), "shingle")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
+        cand.join(sa_, "doc_a")
+        .join(sb_, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-        .join(cand, ["doc_a", "doc_b"])  # only LSH candidates
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))

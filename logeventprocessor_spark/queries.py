@@ -515,7 +515,7 @@ def q_set_ops_users(spark, sf_dir):
 # --------------------------------------------------------------------
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    return D.minhash_lsh_pairs(_docs(spark, sf_dir), k=16, bands=8, threshold=0.6)
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), k=32, bands=8, threshold=0.6)
 
 
 def q_simhash_pairs(spark, sf_dir):
