@@ -324,6 +324,26 @@ def q_events_rollup(spark, sf_dir):
 # TPC-H-ish family (classic relational operators)
 # --------------------------------------------------------------------
 
+def q_events_cube(spark, sf_dir):
+    """CUBE aggregation (2.6 grouping sets)."""
+    e = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    return (
+        e.cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_tpch_q1_pricing(spark, sf_dir):
     li = _li(spark, sf_dir, "lineitem")
     return (
@@ -745,6 +765,16 @@ ORACLES: dict[str, str] = {
               EXCEPT
               SELECT DISTINCT user_id FROM events WHERE event_type='purchase')
     """,
+    "events_cube": """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(day, 'ALL') AS day,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM (SELECT event_type, value,
+                     strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+              FROM events)
+        GROUP BY CUBE (event_type, day)
+    """,
     "tpch_q1_pricing": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -926,6 +956,7 @@ def build_queries() -> dict:
         "dedup_first_event_per_minute": q_dedup_first_event_per_minute,
         "props_k_stats": q_props_k_stats,
         "events_rollup": q_events_rollup,
+        "events_cube": q_events_cube,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
         "tpch_q5_nation_revenue": q_tpch_q5_nation_revenue,

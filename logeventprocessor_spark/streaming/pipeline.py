@@ -325,13 +325,36 @@ def start_pipeline(
     late_cutoff=None,
     available_now: bool = True,
     max_files_per_trigger: int | None = 1,
+    ack_types: list[str] | None = None,
 ):
-    """Wire the full query and start it. Returns (query, sink)."""
+    """Wire the full query and start it. Returns (query, sink).
+
+    ``ack_types``: action types that additionally produce an ``acks``
+    row (K4, the reference's acknowledgment email after processing a
+    response, ActionSender.cpp:741-764) -- written to a second logical
+    table inside the SAME micro-batch write (multi-table exactly-once).
+    """
     stream = read_transcripts_stream(spark, input_dir, max_files_per_trigger)
     actions = build_match_stream(stream, rules, watermark, late_cutoff)
     sink = ParquetUpsertSink(out_dir)
+
+    if ack_types:
+        def process(df: DataFrame, batch_id: int) -> None:
+            df = df.persist()
+            try:
+                sink.write(df, batch_id)
+                acks = df.filter(F.col("action_type").isin(ack_types)).select(
+                    "conv_id", "turn_idx", "rule_id", "step_idx",
+                    F.lit("ack").alias("status"), "ts",
+                )
+                sink.write_table("acks", acks, batch_id)
+            finally:
+                df.unpersist()
+    else:
+        process = sink.foreach_batch()
+
     writer = (
-        actions.writeStream.foreachBatch(sink.foreach_batch())
+        actions.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

@@ -72,6 +72,28 @@ class ParquetUpsertSink:
         ) as f:
             json.dump(meta, f)
 
+    def write_table(self, name: str, df: DataFrame, batch_id: int) -> None:
+        """K4 multi-table exactly-once: a SECOND logical table (e.g.
+        ``acks``, the reference's acknowledgment sends,
+        ActionSender.cpp:741-764) written inside the SAME micro-batch
+        under the same batch-id-idempotent contract -- a replayed batch
+        overwrites both tables' batch directories, so the pair stays
+        consistent."""
+        d = os.path.join(self.out_dir, "tables", name, f"batch_id={batch_id}")
+        df.write.mode("overwrite").parquet(d)
+
+    def read_table(self, spark: SparkSession, name: str, key: list[str]) -> DataFrame:
+        path = os.path.join(self.out_dir, "tables", name)
+        df = spark.read.option("basePath", path).parquet(path + "/batch_id=*")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key).orderBy("batch_id")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "batch_id")
+        )
+
     def foreach_batch(self):
         return lambda df, bid: self.write(df, bid)
 

@@ -37,30 +37,38 @@ def main():
     # take the median of 3 timed runs
     n_actions = match_actions(turns, rules, with_cooldown=True).count()
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         match_actions(turns, rules, with_cooldown=True).count()
         times.append(time.time() - t0)
-    batch_s = sorted(times)[1]
+    batch_s = sorted(times)[2]  # median of 5
 
     from logeventprocessor_spark.streaming.pipeline import start_pipeline
 
-    def stream_once(tag):
+    def stream_steady(tag):
+        """Steady-state streaming throughput: run ~8 micro-batches and
+        measure rows/total-busy-time from the query's own progress
+        (excludes JVM/query setup and the final no-data batch)."""
         tmp = tempfile.mkdtemp(prefix=f"scale{cpus}_{tag}_")
         try:
-            t0 = time.time()
             q, _ = start_pipeline(
                 spark, input_dir, rules,
                 out_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
-                watermark="10 minutes", max_files_per_trigger=None,
+                watermark="10 minutes", max_files_per_trigger=16,
             )
             q.awaitTermination(3600)
-            return time.time() - t0
+            rows = dur = 0
+            for p in q.recentProgress:
+                if p["numInputRows"] > 0:
+                    rows += p["numInputRows"]
+                    dur += p["batchDuration"] / 1000.0
+            return rows / dur if dur else 0.0
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    stream_once("warm")
-    stream_s = stream_once("timed")
+    stream_steady("warm")
+    stream_tps = stream_steady("timed")
+    stream_s = n_turns / stream_tps if stream_tps else 0.0
 
     print(json.dumps({
         "cpus": cpus,

@@ -219,3 +219,28 @@ def test_streaming_tumbling_agg_drops_late_row(spark, tmp_path):
     # the 10:00 and 11:00 windows are final (watermark passed them)
     assert closed.get(pd.Timestamp("2024-03-01 10:00:00")) == 1
     assert closed.get(pd.Timestamp("2024-03-01 11:00:00")) == 1
+
+
+def test_multi_table_ack_sink(spark, stream_input, tmp_path):
+    """K4: ack rows written to a second table in the same micro-batch
+    write; both tables consistent under exactly-once keys."""
+    from logeventprocessor_spark.rules import canonical_rules
+    from logeventprocessor_spark.schema import ACTION_KEY
+    from logeventprocessor_spark.streaming.pipeline import start_pipeline
+
+    pdf, input_dir, _ = stream_input
+    q, sink = start_pipeline(
+        spark,
+        input_dir,
+        canonical_rules(),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        ack_types=["email", "sms"],
+    )
+    q.awaitTermination(300)
+    actions = sink.read(spark).toPandas()
+    acks = sink.read_table(spark, "acks", ACTION_KEY).toPandas()
+    exp = actions[actions.action_type.isin(["email", "sms"])]
+    assert len(acks) == len(exp) > 0
+    assert not acks.duplicated(ACTION_KEY).any()
+    assert set(acks["status"]) == {"ack"}
