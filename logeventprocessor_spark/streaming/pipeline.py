@@ -326,6 +326,7 @@ def start_pipeline(
     available_now: bool = True,
     max_files_per_trigger: int | None = 1,
     ack_types: list[str] | None = None,
+    state_store: str | None = None,
 ):
     """Wire the full query and start it. Returns (query, sink).
 
@@ -333,7 +334,18 @@ def start_pipeline(
     row (K4, the reference's acknowledgment email after processing a
     response, ActionSender.cpp:741-764) -- written to a second logical
     table inside the SAME micro-batch write (multi-table exactly-once).
+
+    ``state_store='rocksdb'``: spillable off-heap keyed state (the
+    10^12-turn backend -- HDFS-backed in-memory state cannot hold one
+    entry per active (conv_id, rule_id)). Session-level conf; keep it
+    constant for the lifetime of a checkpoint.
     """
+    if state_store == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     stream = read_transcripts_stream(spark, input_dir, max_files_per_trigger)
     actions = build_match_stream(stream, rules, watermark, late_cutoff)
     sink = ParquetUpsertSink(out_dir)

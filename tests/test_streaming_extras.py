@@ -244,3 +244,45 @@ def test_multi_table_ack_sink(spark, stream_input, tmp_path):
     assert len(acks) == len(exp) > 0
     assert not acks.duplicated(ACTION_KEY).any()
     assert set(acks["status"]) == {"ack"}
+
+
+def test_rocksdb_state_store_parity(stream_input, tmp_path):
+    """The RocksDB state store (the 10^12-scale backend) produces the
+    identical exactly-once output as the default HDFS-backed store."""
+    from logeventprocessor_spark.oracle import oracle_matches
+    from logeventprocessor_spark.rules import canonical_rules
+    from logeventprocessor_spark.session import get_spark
+    from logeventprocessor_spark.streaming.pipeline import start_pipeline
+
+    pdf, input_dir, _ = stream_input
+    # fresh session: the provider conf must hold for the whole query
+    spark2 = get_spark("rocksdb-test", master="local[4]", shuffle_partitions=4)
+    try:
+        q, sink = start_pipeline(
+            spark2,
+            input_dir,
+            canonical_rules(),
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            state_store="rocksdb",
+        )
+        q.awaitTermination(300)
+        got = (
+            sink.read(spark2)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx", "rule_idx", "step_idx"])
+            .reset_index(drop=True)
+        )
+        exp = oracle_matches(pdf, canonical_rules())
+        assert len(got) == len(exp) > 0
+        assert (
+            got["rendered_value"].tolist() == exp["rendered_value"].tolist()
+        )
+        # the checkpoint actually used RocksDB
+        import glob
+
+        assert glob.glob(str(tmp_path / "ckpt/state/**/*.zip"), recursive=True) or \
+            glob.glob(str(tmp_path / "ckpt/state/**/*.changelog"), recursive=True), \
+            "RocksDB snapshot files expected under the state checkpoint"
+    finally:
+        spark2.conf.unset("spark.sql.streaming.stateStore.providerClass")
