@@ -134,6 +134,49 @@ def near_dup_pairs(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: KMeans over the embeddings; every vector
+    is assigned to its nearest centroid's inverted list. At 100 TB the
+    index is precomputed once and the table is WRITTEN PARTITIONED BY
+    ``_list`` so a probe is a partition-pruned scan."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn(
+        "_v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list"
+    ).fit(feat)
+    return model, model.transform(feat).drop("_v")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via IVF: probe only the ``n_probe`` inverted lists
+    whose centroids are closest to the query, exact cosine inside.
+    n_probe == n_lists degenerates to exact brute force (tested)."""
+    model, indexed = ivf_index(df, n_lists, seed, vec_col)
+    q = np.asarray(query, dtype="float64")
+    dists = [float(np.linalg.norm(c - q)) for c in model.clusterCenters()]
+    probes = list(np.argsort(dists)[:n_probe])
+    cand = indexed.filter(F.col("_list").isin([int(p) for p in probes]))
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
 def brute_force_pairs(
     df: DataFrame,
     threshold: float = 0.95,

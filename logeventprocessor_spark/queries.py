@@ -547,6 +547,11 @@ def q_lsh_ann_topk(spark, sf_dir):
     return S.lsh_topk(_emb(spark, sf_dir), q, k=10, n_planes=4)
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    q = _query_vec(spark, sf_dir)
+    return S.ivf_topk(_emb(spark, sf_dir), q, k=10, n_lists=8, n_probe=2)
+
+
 def q_cep_transcripts_flagship(spark, sf_dir):
     """The full canonical CEP pipeline (incl. cooldown state) on the
     deterministic transcript generator -- the engine's own fixtures."""
@@ -976,6 +981,7 @@ def build_queries() -> dict:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "cep_transcripts_flagship": q_cep_transcripts_flagship,
         "multimodal_features": q_multimodal_features,
     }

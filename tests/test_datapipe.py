@@ -174,3 +174,18 @@ def test_frame_sample_plan(spark):
     one = vids.iloc[0]
     n_frames = len(plan[plan.media_id == one["media_id"]])
     assert n_frames == int(one["meta"]["duration_ms"] - 1) // 5000 + 1
+
+
+def test_ivf_topk(spark, vecs):
+    from logeventprocessor_spark.operators import similarity as S2
+
+    df, base = vecs
+    q = [float(x) for x in base[0]]
+    # full probe == exact brute-force top-k
+    full = S2.ivf_topk(df, q, k=5, n_lists=4, n_probe=4).toPandas()
+    exact = S2.cosine_topk(df, q, k=5).toPandas()
+    assert full["vec_id"].tolist() == exact["vec_id"].tolist()
+    # partial probe still finds the query's own list (self + near-dup)
+    part = S2.ivf_topk(df, q, k=5, n_lists=4, n_probe=1).toPandas()
+    assert 0 in part["vec_id"].tolist()
+    assert 1 in part["vec_id"].tolist()
