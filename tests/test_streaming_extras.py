@@ -286,3 +286,46 @@ def test_rocksdb_state_store_parity(stream_input, tmp_path):
             "RocksDB snapshot files expected under the state checkpoint"
     finally:
         spark2.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_session_window(spark, stream_input, tmp_path):
+    """Session windows keyed by conv_id with a watermark, on the
+    stream, in append mode -- closed sessions match the batch truth."""
+    from pyspark.sql import functions as F
+
+    from logeventprocessor_spark.operators import windows as Wops
+
+    pdf, input_dir, _ = stream_input
+    stream = read_transcripts_stream(spark, input_dir, max_files_per_trigger=1)
+    s = Wops.session(
+        stream.withWatermark("ts", "10 minutes"), "ts", "5 minutes",
+        keys=["conv_id"],
+    )
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .toPandas()
+        .sort_values(["conv_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        Wops.session(transcripts_df(spark, pdf), "ts", "5 minutes",
+                     keys=["conv_id"])
+        .toPandas()
+        .sort_values(["conv_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    # append mode only emits sessions the watermark has CLOSED; every
+    # emitted session must be a real (batch-truth) session
+    assert len(got) > 0
+    key = ["conv_id", "session_start", "session_end", "n_events"]
+    merged = got[key].merge(exp[key], on=key, how="left", indicator=True)
+    assert (merged["_merge"] == "both").all()
