@@ -31,4 +31,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # some oracles read repo-local fixture parquet (the canonical
+    # transcript corpus; the augmented embeddings) -- make sure the
+    # files exist before any SQL referencing them can run
+    from logeventprocessor_spark.fixtures import ensure_oracle_fixtures
+
+    ensure_oracle_fixtures()
     return dict(Q.ORACLES)

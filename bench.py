@@ -54,21 +54,35 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "simhash_md5_pairs",
     "embedding_cosine_query",
+    "embedding_neardup_pairs",
     "lsh_ann_topk",
+    "ivf_ann_topk",
+    "props_json_stats",
     "text_quality",
     "lang_id_pred",
 ]
 
 
-def _run(df) -> int:
-    """Force full execution without collecting rows to the driver."""
-    return df.write.format("noop").mode("overwrite").save() or df.count()
+def _run(df) -> None:
+    """Force full execution without collecting rows to the driver.
+    ONE action only (the noop write) -- chaining a count() would run
+    every query twice and double the reported timings."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main():
-    spark = get_spark("bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=max(CPUS, 8))
+    spark = get_spark(
+        "bench", master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+        # keep input splits >= cores: the small per-file sizes at bench
+        # SF would otherwise pack into fewer partitions than cores
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        },
+    )
     qs = Q.build_queries()
     timings: dict[str, float] = {}
     throughput: dict[str, float] = {}

@@ -92,7 +92,11 @@ def ngram_jaccard_pairs(
     a single qualifying pair; the full intersection count then runs
     only on surviving candidates.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    # localCheckpoint (not .cache()): materializes once, truncates the
+    # lineage so the 4 downstream uses read the stored blocks, and the
+    # blocks are released by the ContextCleaner when the plan is GC'd
+    # -- no unbounded cache growth across a long driver session.
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if prefix_filter:
@@ -124,24 +128,39 @@ def ngram_jaccard_pairs(
             )
             .distinct()
         )
-        sa_ = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        sb_ = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        inter = (
-            cand.join(sa_, "doc_a")
-            .join(sb_, ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+        return _jaccard_verify(cand, sh, sizes, threshold)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-    else:
-        a, b = sh.alias("a"), sh.alias("b")
-        inter = (
-            a.join(b, "shingle")
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .groupBy(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return _jaccard_finish(inter, sizes, threshold)
+
+
+def _jaccard_verify(
+    cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate PAIRS, candidate-driven:
+    join the pairs to the shingle lists (cand x |A| rows) instead of
+    re-exploding the full inverted index over candidate docs."""
+    sa_ = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb_ = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa_, "doc_a")
+        .join(sb_, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return _jaccard_finish(inter, sizes, threshold)
+
+
+def _jaccard_finish(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -219,57 +238,34 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # verify candidates with exact Jaccard, candidate-driven: join the
-    # candidate PAIRS to the shingle lists (cand x |A| rows) instead of
-    # re-exploding the full inverted index over candidate docs
-    sh = shingles(df, id_col, text_col, n).cache()
+    # verify candidates with exact Jaccard over ONE materialized
+    # shingle scan (localCheckpoint: no recompute, no cache leak)
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa_ = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb_ = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa_, "doc_a")
-        .join(sb_, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_verify(cand, sh, sizes, threshold)
 
 
-def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """64-bit SimHash per doc: explode tokens, xxhash64 each, then for
-    every bit sum +1/-1 and reassemble -- 64 codegen'd aggregates, one
-    shuffle, no Python."""
-    toks = df.select(
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+
+
+def _simhash_from_tokens(toks: DataFrame, n_bits: int) -> DataFrame:
+    """(doc_id, h) -> (doc_id, simhash): per bit sum +1/-1, reassemble.
+    ``n_bits`` codegen'd aggregates, ONE shuffle, no Python."""
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
                 -1
             )
         ).alias(f"b_{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     sums = toks.groupBy("doc_id").agg(*aggs)
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         # shiftleft in the JVM: bit 63 wraps to the sign bit, which a
         # python 1<<63 literal cannot express as LongType
         sig = sig + F.when(
@@ -278,19 +274,38 @@ def simhash(
     return sums.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    max_hamming: int = 8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_blocks: int = 4,
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= max_hamming, using
-    the block-permutation trick: split the 64-bit sig into n_blocks
-    16-bit blocks; a pair within distance d < n_blocks must agree on
-    >=1 block -> join per block, then verify exact hamming."""
-    sig = simhash(df, id_col, text_col)
-    width = 64 // n_blocks
+    """64-bit SimHash per doc (token hash = xxhash64, the fast path)."""
+    return _simhash_from_tokens(
+        _tokens(df, id_col, text_col).withColumn("h", F.xxhash64("tok")), 64
+    )
+
+
+def simhash_md5(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash whose token hash is the first 15 hex chars of
+    md5 -- dialect-portable (DuckDB computes the IDENTICAL signature
+    via ``CAST('0x'||substring(md5(tok),1,15) AS BIGINT)``), so the
+    whole operator gets a full value-level oracle. 60 bits keeps the
+    value positive in a signed 64-bit long on both engines."""
+    toks = _tokens(df, id_col, text_col).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    )
+    return _simhash_from_tokens(toks, 60)
+
+
+def _simhash_block_pairs(
+    sig: DataFrame, n_bits: int, n_blocks: int, max_hamming: int
+) -> DataFrame:
+    """(doc_id, simhash) -> near-dup pairs with hamming <= max_hamming
+    via the block-permutation trick. EXACT (full recall) whenever
+    max_hamming < n_blocks: by pigeonhole a pair within distance d
+    spread over n_blocks blocks must agree on >= n_blocks - d of them.
+    """
+    width = n_bits // n_blocks
     mask = (1 << width) - 1
     blocks = sig.select(
         "doc_id",
@@ -308,7 +323,9 @@ def simhash_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    ).select(
+        "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(b, ["blk", "val"])
@@ -321,7 +338,42 @@ def simhash_pairs(
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("doc_a", "doc_b", "hamming")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """EXACT near-dup pairs (hamming <= max_hamming over the portable
+    60-bit md5 SimHash). Defaults keep max_hamming < n_blocks so the
+    block-candidate step is lossless -- the output is fully
+    DuckDB-oracle-able, pair for pair."""
+    assert max_hamming < n_blocks, "exactness needs max_hamming < n_blocks"
+    return _simhash_block_pairs(
+        simhash_md5(df, id_col, text_col), 60, n_blocks, max_hamming
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, using
+    the block-permutation trick: split the 64-bit sig into n_blocks
+    16-bit blocks; a pair within distance d < n_blocks must agree on
+    >=1 block -> join per block, then verify exact hamming."""
+    return _simhash_block_pairs(
+        simhash(df, id_col, text_col), 64, n_blocks, max_hamming
+    )

@@ -58,11 +58,18 @@ def prefilter_literal(pattern: str) -> str | None:
     candidates. Conservative rules:
     * top-level alternation ('|') anywhere -> give up (a run inside one
       branch is not required);
+    * ``(?...)`` constructs (inline flags, non-capturing groups,
+      lookaround) -> give up;
+    * a ``[...]`` character class is ONE opaque non-literal atom: it
+      terminates the current run and contributes nothing (its contents
+      are alternatives, never required literals);
+    * ``\\`` + a char outside _ESCAPABLE (``\\b \\d \\w \\s`` etc.) is
+      likewise an opaque atom -- NOT the bare letter;
     * a run followed by '?', '*' or '{0' has an optional last atom ->
       trim the run's last char;
     * escaped metachars (\\[ etc.) contribute their literal char.
     """
-    if "|" in pattern:
+    if "|" in pattern or "(?" in pattern:
         return None
     # an optional GROUP can hide a run's optionality from the
     # next-char rule below ((abc)?def) -> give up on such patterns
@@ -74,9 +81,46 @@ def prefilter_literal(pattern: str) -> str | None:
     n = len(pattern)
     while i < n:
         c = pattern[i]
-        if c == "\\" and i + 1 < n and pattern[i + 1] in _ESCAPABLE:
-            cur.append(pattern[i + 1])
+        if c == "\\":
+            if i + 1 >= n:
+                return None  # dangling backslash: unrecognized
+            esc = pattern[i + 1]
+            if esc in _ESCAPABLE:
+                cur.append(esc)
+            else:
+                # \b \B \d \D \w \W \s \S, backrefs, ...: opaque
+                # non-literal atom -- flush the run, contribute nothing
+                if cur:
+                    runs.append((i, "".join(cur)))
+                    cur = []
             i += 2
+            continue
+        if c == "[":
+            # a character class is one opaque atom: skip it wholesale
+            if cur:
+                runs.append((i, "".join(cur)))
+                cur = []
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1  # leading ']' is literal inside a class
+            while j < n and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            if j >= n:
+                return None  # unterminated class: unrecognized
+            i = j + 1
+            continue
+        if c == "{":
+            # skip {m,n} wholesale: its digits are repeat counts, not
+            # required literal text (a{1234} never contains "1234")
+            if cur:
+                runs.append((i, "".join(cur)))
+                cur = []
+            j = pattern.find("}", i + 1)
+            if j < 0:
+                return None  # bare '{': unrecognized, give up
+            i = j + 1
             continue
         if c in _META:
             if cur:
@@ -107,6 +151,12 @@ def _rules_payload(rules: list[Rule]) -> tuple:
     )
 
 
+# Keep the TWO most recent rule sets compiled: hot-reload (T8) swaps
+# rule sets between micro-batches; alternating A/B sets must not
+# recompile every batch. dict preserves insertion order -> LRU-ish.
+_CACHE_CAPACITY = 2
+
+
 def _compiled(payload: tuple) -> list:
     got = _COMPILED_CACHE.get(payload)
     if got is None:
@@ -118,7 +168,12 @@ def _compiled(payload: tuple) -> list:
                 pat if pat.groups >= 1 else re.compile(f"({pattern})", re.IGNORECASE)
             )
             got.append((rule_id, rule_idx, pat, extract_pat, prefilter_literal(pattern)))
-        _COMPILED_CACHE.clear()  # only one live rule set per worker
+        while len(_COMPILED_CACHE) >= _CACHE_CAPACITY:
+            _COMPILED_CACHE.pop(next(iter(_COMPILED_CACHE)))
+        _COMPILED_CACHE[payload] = got
+    else:
+        # refresh recency so an alternating pair never evicts itself
+        _COMPILED_CACHE.pop(payload)
         _COMPILED_CACHE[payload] = got
     return got
 

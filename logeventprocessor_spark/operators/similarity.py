@@ -99,6 +99,126 @@ def lsh_topk(
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
+def _band_bucket_exprs(
+    vec_col: str, planes: np.ndarray, bands: int
+) -> list:
+    """One bucket string per band: the sign bits of this band's planes.
+    AND within a band (all r bits must agree), OR across bands -- the
+    standard banded LSH construction (recall tunable via b and r)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    r = len(planes) // bands
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return [F.concat(*bits[b * r : (b + 1) * r]) for b in range(bands)]
+
+
+def _query_band_buckets(query: list[float], planes: np.ndarray, bands: int):
+    q = np.asarray(query, dtype="float64")
+    bits = ["1" if float(np.dot(p, q)) >= 0 else "0" for p in planes]
+    r = len(planes) // bands
+    return ["".join(bits[b * r : (b + 1) * r]) for b in range(bands)]
+
+
+def banded_lsh_candidates(
+    df: DataFrame,
+    bands: int = 12,
+    rows_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Candidate id pairs (id_a < id_b) sharing >=1 band bucket.
+
+    Only (id, band, bucket) rows are shuffled -- vectors are joined
+    back by the caller -- so the exploded table is bands x |rows| of
+    small fixed-width rows. Bucket keys are high-cardinality
+    (2^rows_per_band per band), so the self-join is skew-free."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bands * rows_per_band, seed)
+    buckets = [
+        F.struct(F.lit(b).alias("band"), e.alias("bucket"))
+        for b, e in enumerate(_band_bucket_exprs(vec_col, planes, bands))
+    ]
+    bb = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*buckets)).alias("b")
+    ).select("_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    x, y = bb.alias("x"), bb.alias("y")
+    return (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def near_dup_pairs_banded(
+    df: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 12,
+    rows_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path for embedding near-dup pairs: banded-LSH candidates,
+    exact-cosine verify. No cross join anywhere: candidate volume is
+    sum over buckets of C(bucket_size, 2), tiny when near-dups are
+    tight clusters (the regime near-dup dedup targets)."""
+    cand = banded_lsh_candidates(
+        df, bands, rows_per_band, id_col, vec_col, seed, dim
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    a = vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("va"))
+    b = vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("vb"))
+    va = F.transform(F.col("va"), lambda t: t.cast("double"))
+    vb = F.transform(F.col("vb"), lambda t: t.cast("double"))
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_topk_banded(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    bands: int = 12,
+    rows_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    exclude_id=None,
+) -> DataFrame:
+    """ANN top-k with banded LSH: scan only rows sharing >=1 band
+    bucket with the query (a pure filter over precomputable bucket
+    columns -- at 100 TB the b bucket columns are materialized and the
+    scan prunes on them), exact cosine rerank on the survivors."""
+    dim = len(query)
+    planes = _hyperplanes(dim, bands * rows_per_band, seed)
+    exprs = _band_bucket_exprs(vec_col, planes, bands)
+    qb = _query_band_buckets(query, planes, bands)
+    pred = None
+    for e, qv in zip(exprs, qb):
+        c = e == F.lit(qv)
+        pred = c if pred is None else (pred | c)
+    cand = df.filter(pred)
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -175,6 +295,61 @@ def ivf_topk(
     probes = list(np.argsort(dists)[:n_probe])
     cand = indexed.filter(F.col("_list").isin([int(p) for p in probes]))
     return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def ivf_build(
+    df: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build + PERSIST the IVF index once: KMeans centers to
+    ``path/centers.json``, the assigned table to ``path/lists/``
+    WRITTEN PARTITIONED BY ``_list`` -- so every later probe is a
+    partition-pruned scan with no model fit (the 100 TB contract:
+    index build is one batch job, probes never re-cluster)."""
+    import json
+    import os
+
+    model, indexed = ivf_index(df, n_lists, seed, vec_col)
+    indexed.select(id_col, vec_col, "_list").write.mode("overwrite").partitionBy(
+        "_list"
+    ).parquet(os.path.join(path, "lists"))
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    with open(os.path.join(path, "centers.json"), "w") as f:
+        json.dump({"n_lists": n_lists, "seed": seed, "centers": centers}, f)
+
+
+def ivf_load_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id=None,
+) -> DataFrame:
+    """Probe a persisted IVF index: pick the ``n_probe`` nearest
+    centers driver-side (tiny JSON), scan ONLY those ``_list=``
+    partitions (partition pruning -- check PushedFilters/PartitionFilters
+    in the plan), exact cosine top-k inside."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centers.json")) as f:
+        meta = json.load(f)
+    q = np.asarray(query, dtype="float64")
+    dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in meta["centers"]]
+    probes = [int(p) for p in np.argsort(dists)[:n_probe]]
+    df = spark.read.parquet(os.path.join(path, "lists")).filter(
+        F.col("_list").isin(probes)
+    )
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    return cosine_topk(df, query, k, id_col, vec_col)
 
 
 def brute_force_pairs(

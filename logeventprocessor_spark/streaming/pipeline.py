@@ -142,8 +142,12 @@ def stream_sequence_detect(
             return
         g = pd.concat(pdfs, ignore_index=True)
         g = g[g["rule_id"].isin([rule_a, rule_b])]
+        # (ts, turn_idx, is_b) order matches batch sequence_detect and
+        # the oracle: at an identical (ts, turn_idx) the A row is
+        # processed first so a same-turn A qualifies as "preceding"
+        g = g.assign(_is_b=(g["rule_id"] == rule_b).astype(int))
         g = g.drop_duplicates(["turn_idx", "rule_id"]).sort_values(
-            ["ts", "turn_idx"], kind="mergesort"
+            ["ts", "turn_idx", "_is_b"], kind="mergesort"
         )
         st = state.getOption
         a_ts_ns = st[0] if st is not None else None
@@ -162,7 +166,9 @@ def stream_sequence_detect(
                             pd.Timestamp(ts_ns),
                         )
                     )
-            if row.rule_id == rule_a:
+            # "latest A" state: a late-arriving OLDER A (possible across
+            # micro-batches) must never regress the stored timestamp
+            if row.rule_id == rule_a and (a_ts_ns is None or ts_ns >= a_ts_ns):
                 a_ts_ns, a_turn = ts_ns, int(row.turn_idx)
         if a_ts_ns is not None:
             state.update((int(a_ts_ns), int(a_turn)))

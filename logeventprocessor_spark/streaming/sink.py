@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,10 +57,16 @@ class ParquetUpsertSink:
 
         partitions: dict[int, int] = {}
         bd = self.batch_dir(batch_id)
-        for i, name in enumerate(sorted(os.listdir(bd))):
+        # partition id = the part-NNNNN index baked into the file name
+        # (enumerate over listdir would be offset by _SUCCESS/.crc files)
+        for name in sorted(os.listdir(bd)):
             if not name.endswith(".parquet"):
                 continue
-            partitions[i] = pq.ParquetFile(os.path.join(bd, name)).metadata.num_rows
+            m = re.match(r"part-(\d+)", name)
+            idx = int(m.group(1)) if m else len(partitions)
+            partitions[idx] = pq.ParquetFile(
+                os.path.join(bd, name)
+            ).metadata.num_rows
         meta = {
             "batch_id": batch_id,
             "rows": int(sum(partitions.values())),

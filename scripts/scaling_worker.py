@@ -26,11 +26,23 @@ from logeventprocessor_spark.session import get_spark  # noqa: E402
 def main():
     cpus = int(sys.argv[1])
     input_dir = sys.argv[2]
-    spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
+    # input-split sizing: the ~8 MB bench files pack into ~13 partitions
+    # under the 128 MB default, capping scan+match parallelism below
+    # local[16]/local[32]. A real 100 TB table yields far more splits
+    # than executors at ANY cluster size, so the faithful proxy keeps
+    # splits >> cores at both levels: one file per partition.
+    spark = get_spark(
+        f"scaling-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        },
+    )
     rules = canonical_rules()
     turns = spark.read.parquet(input_dir)
     n_turns = turns.count()  # warm file listing + page cache
+    n_splits = turns.rdd.getNumPartitions()
 
     # measure WARM steady-state: run once to amortize Python-worker
     # launch + JIT (a long-running cluster job is always warm), then
@@ -76,6 +88,7 @@ def main():
         "stream_s": round(stream_s, 3),
         "n_turns": n_turns,
         "n_actions": n_actions,
+        "n_input_splits": n_splits,
     }))
     spark.stop()
 

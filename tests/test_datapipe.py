@@ -148,7 +148,23 @@ def test_fingerprint_normalization(spark, docs):
     assert got.loc[4, "fp_roll"] != got.loc[5, "fp_roll"]
 
 
-def test_multimodal_decode_plumbing(spark):
+def test_codec_roundtrips():
+    """Pure-python encode/decode roundtrips for every payload format."""
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)  # odd width: row pad
+    assert (M.decode_bmp(M.encode_bmp(px)) == px).all()
+    samp = rng.randint(-30000, 30000, 100).astype(np.int16)
+    rate, got = M.decode_wav(M.encode_wav(samp, 16000))
+    assert rate == 16000 and (got == samp).all()
+    frames = [rng.randint(0, 256, (4, 4, 3)).astype(np.uint8) for _ in range(3)]
+    blobs = M.decode_rawv(M.encode_rawv(frames))
+    assert len(blobs) == 3
+    assert (M.decode_bmp(blobs[1]) == frames[1]).all()
+    with pytest.raises(ValueError):
+        M.decode_bmp(b"not a bitmap at all")
+
+
+def test_multimodal_decode_features(spark):
     media = M.synth_media(spark, n=30)
     feats = M.decode_features(media, dim=8).toPandas()
     assert len(feats) == 30
@@ -158,12 +174,20 @@ def test_multimodal_decode_plumbing(spark):
     a = [list(f) for f in feats.sort_values("media_id")["feature"]]
     b = [list(f) for f in feats2.sort_values("media_id")["feature"]]
     assert a == b
-    # real decode is an explicit stub
-    with pytest.raises(Exception) as ei:
-        M.decode_features(media, dim=8, real_decode=True).count()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
-    )
+    # cross-check one image row against a driver-side decode of the
+    # same payload: header fields and channel means must agree
+    row = media.filter(F.col("kind") == "image").first()
+    px = M.decode_bmp(bytes(row["payload"])).astype("float64")
+    f = feats.set_index("media_id").loc[row["media_id"], "feature"]
+    assert f[0] == 1.0
+    assert int(f[1]) == row["meta"]["width"] == px.shape[1]
+    assert int(f[2]) == row["meta"]["height"] == px.shape[0]
+    assert abs(f[3] - px[..., 0].mean()) < 1e-2
+    # audio row: rate and sample count come from the WAV header
+    arow = media.filter(F.col("kind") == "audio").first()
+    rate, samp = M.decode_wav(bytes(arow["payload"]))
+    af = feats.set_index("media_id").loc[arow["media_id"], "feature"]
+    assert af[0] == 2.0 and af[1] == rate / 1000.0 and int(af[2]) == len(samp)
 
 
 def test_frame_sample_plan(spark):

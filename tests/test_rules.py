@@ -161,3 +161,73 @@ def test_prefilter_optional_group_guard():
 
     assert prefilter_literal(r"(abc)?defg") is None  # abc is optional
     assert prefilter_literal(r"(?:abcd)*xy") is None
+
+
+def test_prefilter_classes_and_escapes_are_not_literals():
+    """Regression for round-1 ADVICE: \\b/\\d/\\s/\\w and [...] class
+    contents must never be treated as required literal text."""
+    from logeventprocessor_spark.operators.match import prefilter_literal
+
+    # \b is an opaque atom, NOT the letter 'b' (was: 'berror')
+    assert prefilter_literal(r"\berror\b") == "error"
+    # a [...] class contributes nothing (was: 'a-z'); 'x ' too short
+    assert prefilter_literal(r"x ([a-z]+)") is None
+    # runs around a class survive; class contents never leak
+    assert prefilter_literal(r"id [A-Za-z0-9]+ okay") == " okay"
+    # \d / \s / \w are opaque atoms that split runs
+    assert prefilter_literal(r"code \d+ failed") == " failed"
+    assert prefilter_literal(r"\w+ login\sdone") == " login"
+    # class with an escaped ']' inside is skipped correctly
+    assert prefilter_literal(r"tag [\]a-z]+ endtag") == " endtag"
+    # {m,n} digits are repeat counts, not literals
+    assert prefilter_literal(r"ab{1234}cd") is None
+    # unrecognized syntax -> give up, never guess
+    assert prefilter_literal("broken [a-z") is None
+    assert prefilter_literal("trail\\") is None
+    assert prefilter_literal("(?i)something") is None
+
+
+def test_prefilter_adversarial_end_to_end():
+    """Any string matching the regex must contain the claimed literal
+    (else match_turns silently drops matching rows)."""
+    import re as _re
+
+    from logeventprocessor_spark.operators.match import prefilter_literal
+
+    cases = [
+        (r"\berror\b", ["an error here", "ERROR!", "no terrors"]),
+        (r"x ([a-z]+)", ["x abc", "prefix x zz"]),
+        (r"id [A-Za-z0-9]+ okay", ["id A9 okay now"]),
+        (r"user\d{3} logged", ["user123 logged in"]),
+        (r"[Ee]rror: #?\d+", ["Error: 42", "error: #7"]),
+        (r"\s*status\s*=\s*\d+", ["  status = 200"]),
+        (r"a{2,5}bcd", ["xaaabcdx"]),
+    ]
+    for pattern, samples in cases:
+        pat = _re.compile(pattern, _re.IGNORECASE)
+        lit = prefilter_literal(pattern)
+        for s in samples:
+            if pat.search(s):
+                assert lit is None or lit in s.lower(), (pattern, lit, s)
+
+
+def test_compiled_cache_keeps_two_rule_sets():
+    """Hot-reload alternates rule sets per micro-batch; both must stay
+    compiled (no per-batch recompile)."""
+    from logeventprocessor_spark.operators import match as M
+    from logeventprocessor_spark.rules import Rule
+
+    set_a = M._rules_payload([Rule("a", 0, "aaa")])
+    set_b = M._rules_payload([Rule("b", 0, "bbb")])
+    M._COMPILED_CACHE.clear()
+    ca1 = M._compiled(set_a)
+    cb1 = M._compiled(set_b)
+    assert M._compiled(set_a) is ca1
+    assert M._compiled(set_b) is cb1
+    assert set(M._COMPILED_CACHE) == {set_a, set_b}
+    # a third set evicts the least recently used (set_a)
+    set_c = M._rules_payload([Rule("c", 0, "ccc")])
+    M._compiled(set_b)  # refresh b
+    M._compiled(set_c)
+    assert set_a not in M._COMPILED_CACHE
+    assert set_b in M._COMPILED_CACHE and set_c in M._COMPILED_CACHE
