@@ -67,7 +67,7 @@ def shingles(
         ),
     )
     return (
-        df.filter(F.size(toks) >= n)
+        _fan_out(df.filter(F.size(toks) >= n))
         .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .distinct()
     )
@@ -245,8 +245,21 @@ def minhash_lsh_pairs(
     return _jaccard_verify(cand, sh, sizes, threshold)
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Rebalance BEFORE an explode: tokenization/shingling amplifies
+    rows ~|tokens|x, so the pre-explode partition count bounds the
+    parallelism of everything downstream. A 100 TB table arrives with
+    thousands of splits; a small local file arrives with ONE -- only
+    repartition when the input is narrower than the cluster."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
+    return _fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )

@@ -19,6 +19,7 @@ enter the plan as literals -- deterministic, no shuffle, no UDF.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -99,26 +100,35 @@ def lsh_topk(
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
-def _band_bucket_exprs(
-    vec_col: str, planes: np.ndarray, bands: int
-) -> list:
-    """One bucket string per band: the sign bits of this band's planes.
-    AND within a band (all r bits must agree), OR across bands -- the
-    standard banded LSH construction (recall tunable via b and r)."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    r = len(planes) // bands
-    bits = []
-    for p in planes:
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(_dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return [F.concat(*bits[b * r : (b + 1) * r]) for b in range(bands)]
+def _band_buckets_udf(planes: np.ndarray, bands: int):
+    """Vectorized band-bucket computation: one Arrow-batched pandas UDF
+    returning the array of band-tagged bucket strings ('b:bits') per
+    vector. The sign bits come from ONE BLAS matmul per batch
+    ((N x dim) @ (dim x n_planes)) -- 96 separate fold expressions in
+    Catalyst are interpreted per element and orders of magnitude
+    slower; this is the 'built-ins genuinely can't express it
+    efficiently' case for a Pandas UDF."""
+    pt = planes.T.copy()
+    r = planes.shape[0] // bands
+
+    @F.pandas_udf("array<string>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        chars = np.where(m @ pt >= 0, "1", "0")
+        out = []
+        for row in chars:
+            s = "".join(row)
+            out.append([f"{b}:{s[b * r:(b + 1) * r]}" for b in range(bands)])
+        return pd.Series(out)
+
+    return buckets
 
 
 def _query_band_buckets(query: list[float], planes: np.ndarray, bands: int):
     q = np.asarray(query, dtype="float64")
     bits = ["1" if float(np.dot(p, q)) >= 0 else "0" for p in planes]
     r = len(planes) // bands
-    return ["".join(bits[b * r : (b + 1) * r]) for b in range(bands)]
+    return [f"{b}:{''.join(bits[b * r:(b + 1) * r])}" for b in range(bands)]
 
 
 def banded_lsh_candidates(
@@ -139,16 +149,14 @@ def banded_lsh_candidates(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bands * rows_per_band, seed)
-    buckets = [
-        F.struct(F.lit(b).alias("band"), e.alias("bucket"))
-        for b, e in enumerate(_band_bucket_exprs(vec_col, planes, bands))
-    ]
+    udf = _band_buckets_udf(planes, bands)
     bb = df.select(
-        F.col(id_col).alias("_id"), F.explode(F.array(*buckets)).alias("b")
-    ).select("_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+        F.col(id_col).alias("_id"),
+        F.explode(udf(F.col(vec_col))).alias("bucket"),
+    )
     x, y = bb.alias("x"), bb.alias("y")
     return (
-        x.join(y, ["band", "bucket"])
+        x.join(y, "bucket")
         .filter(F.col("x._id") < F.col("y._id"))
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .distinct()
@@ -202,18 +210,14 @@ def lsh_topk_banded(
     exclude_id=None,
 ) -> DataFrame:
     """ANN top-k with banded LSH: scan only rows sharing >=1 band
-    bucket with the query (a pure filter over precomputable bucket
-    columns -- at 100 TB the b bucket columns are materialized and the
-    scan prunes on them), exact cosine rerank on the survivors."""
+    bucket with the query (a filter over precomputable bucket columns
+    -- at 100 TB the bucket array is materialized at ingest and the
+    scan prunes on it), exact cosine rerank on the survivors."""
     dim = len(query)
     planes = _hyperplanes(dim, bands * rows_per_band, seed)
-    exprs = _band_bucket_exprs(vec_col, planes, bands)
-    qb = _query_band_buckets(query, planes, bands)
-    pred = None
-    for e, qv in zip(exprs, qb):
-        c = e == F.lit(qv)
-        pred = c if pred is None else (pred | c)
-    cand = df.filter(pred)
+    udf = _band_buckets_udf(planes, bands)
+    qb = F.array(*[F.lit(s) for s in _query_band_buckets(query, planes, bands)])
+    cand = df.filter(F.arrays_overlap(udf(F.col(vec_col)), qb))
     if exclude_id is not None:
         cand = cand.filter(F.col(id_col) != exclude_id)
     return cosine_topk(cand, query, k, id_col, vec_col)

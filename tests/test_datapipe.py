@@ -118,6 +118,94 @@ def test_near_dup_pairs_lsh_vs_brute(spark, vecs):
     )
 
 
+def test_simhash_md5_matches_python(spark, docs):
+    """The portable 60-bit md5 SimHash equals an independent pure-python
+    recomputation, signature for signature; the pair set equals the
+    brute-force hamming<=3 truth (lossless block candidates)."""
+    import hashlib
+
+    texts = dict(docs.toPandas()[["doc_id", "text"]].values)
+
+    def py_sig(text):
+        sums = [0] * 60
+        for t in text.lower().strip().split():
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(60) if sums[b] > 0)
+
+    sigs = D.simhash_md5(docs).toPandas().set_index("doc_id")["simhash"]
+    for doc_id, text in texts.items():
+        assert int(sigs[doc_id]) == py_sig(text), doc_id
+
+    got = D.simhash_md5_pairs(docs, max_hamming=3).toPandas()
+    exp = {
+        (a, b): bin(py_sig(texts[a]) ^ py_sig(texts[b])).count("1")
+        for a in texts for b in texts if a < b
+        if bin(py_sig(texts[a]) ^ py_sig(texts[b])).count("1") <= 3
+    }
+    assert set(map(tuple, got[["doc_a", "doc_b"]].values)) == set(exp)
+    for r in got.itertuples(index=False):
+        assert r.hamming == exp[(r.doc_a, r.doc_b)]
+
+
+def test_banded_neardup_matches_brute(spark, vecs):
+    """Banded LSH near-dup == brute force at the fixture (planted dup
+    at cos ~0.9999: per-band agree prob >= 0.99^4, 8 bands)."""
+    df, _ = vecs
+    lsh = S.near_dup_pairs_banded(
+        df, threshold=0.99, bands=8, rows_per_band=4, dim=16
+    ).toPandas()
+    brute = S.brute_force_pairs(df, threshold=0.99).toPandas()
+    key = lambda p: set(map(tuple, p[["vec_a", "vec_b"]].values))  # noqa: E731
+    assert key(lsh) == key(brute) and len(brute) >= 1
+
+
+def test_ivf_persisted_probe_no_refit(spark, vecs, tmp_path, monkeypatch):
+    """ivf_build persists centers + _list-partitioned lists; a probe
+    loads them WITHOUT fitting KMeans (the 100 TB contract)."""
+    df, base = vecs
+    path = str(tmp_path / "ivf")
+    S.ivf_build(df, path, n_lists=4, seed=42)
+
+    import pyspark.ml.clustering as C
+
+    def boom(self, *a, **k):
+        raise AssertionError("probe must not re-fit KMeans")
+
+    monkeypatch.setattr(C.KMeans, "fit", boom)
+    q = [float(x) for x in base[0]]
+    got = S.ivf_load_topk(spark, path, q, k=5, n_probe=4).toPandas()
+    exact = S.cosine_topk(df, q, k=5).toPandas()
+    assert got["vec_id"].tolist() == exact["vec_id"].tolist()
+    # the probe scan is partition-pruned on _list
+    plan = S.ivf_load_topk(spark, path, q, k=5, n_probe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_augmented_embeddings_deterministic(tmp_path):
+    """Same driver table + seed -> byte-identical planted dups."""
+    import pandas as pd_
+
+    from logeventprocessor_spark import fixtures as FX
+
+    pdf = pd_.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = FX._augment_embeddings(pdf, seed=42)
+    b = FX._augment_embeddings(pdf, seed=42)
+    assert (a["vec_id"].to_numpy() == b["vec_id"].to_numpy()).all()
+    va = np.stack([np.asarray(v) for v in a["embedding"]])
+    vb = np.stack([np.asarray(v) for v in b["embedding"]])
+    assert (va == vb).all()
+    # planted dups of the query vector really are near-dups
+    ids = a["vec_id"].to_numpy()
+    n_orig = len(pdf)
+    q = va[list(ids).index(0)].astype("float64")
+    for i in range(n_orig, n_orig + 12):
+        w = va[i].astype("float64")
+        cos = (q @ w) / (np.linalg.norm(q) * np.linalg.norm(w))
+        assert cos >= 0.98
+
+
 def test_token_counts_and_quality(spark, docs):
     got = Tx.with_quality_score(Tx.with_token_counts(docs, "text")).toPandas()
     row = got[got.doc_id == 0].iloc[0]
