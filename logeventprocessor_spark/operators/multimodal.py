@@ -254,6 +254,46 @@ def decode_features(media: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
+FEATURE_ERR_SCHEMA = T.StructType(
+    list(FEATURE_SCHEMA.fields)
+    + [T.StructField("err", T.StringType(), True)]
+)
+
+
+def decode_features_safe(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Quarantining variant of ``decode_features``: a payload that
+    fails to decode yields a row with ``err`` set (and a zero feature)
+    instead of failing the task -- at 100 TB a handful of corrupt blobs
+    must not kill the job; filter ``err IS NOT NULL`` into a
+    quarantine sink and keep going."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats, errs = [], []
+            for k, p in zip(pdf["kind"], pdf["payload"]):
+                try:
+                    feats.append(_DECODERS[k](bytes(p), dim))
+                    errs.append(None)
+                except Exception as ex:  # corrupt payload -> quarantine
+                    feats.append([0.0] * dim)
+                    errs.append(f"{type(ex).__name__}: {ex}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "feature": feats,
+                    "n_bytes": pdf["payload"].map(len).astype("int32").values,
+                    "err": errs,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        fn, schema=FEATURE_ERR_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: one row per planned frame (ts offset)
     per video -- pure built-ins (sequence+explode); the decode of each

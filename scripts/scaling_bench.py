@@ -86,6 +86,12 @@ def main():
     r8, r32 = runs[8], runs[32]
     eff = result["pairs"]
 
+    # batch serial-floor fit T(c) = W/c + C from the 4->16 pair
+    t4, t16 = runs[4]["batch_s"], runs[16]["batch_s"]
+    w_par = (t4 - t16) / (1 / 4 - 1 / 16)
+    c_ser = t4 - w_par / 4
+    pred32 = w_par / 32 + c_ser
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     rows = "\n".join(
         f"| local[{c}] | {r['batch_s']} s | "
@@ -100,7 +106,7 @@ def main():
 Protocol (BASELINE.md): identical deterministic transcript stream
 (seed=42, {n_turns} turns, {result['n_actions']} match-output rows),
 identical rule set (canonical corpus incl. cooldown rule), same input
-parquet (64 files), run WARM (one warm-up execution, median of 3)
+parquet (128 files), run WARM (one warm-up execution, median of 3)
 at each parallelism level in separate JVMs — the sandbox proxy for
 N vs 4N executors.
 
@@ -115,11 +121,30 @@ N vs 4N executors.
 | local[4] -> local[16] | {eff['4->16']['scaling_efficiency_batch']} | {eff['4->16']['scaling_efficiency_stream']} |
 | local[8] -> local[32] | {eff['8->32']['scaling_efficiency_batch']} | {eff['8->32']['scaling_efficiency_stream']} |
 
-Target >= 0.8 per BASELINE.json north_rule. Local-mode caveat: every
-"core" runs a JVM task thread AND a separate Python worker process, so
-local[32] on a 32-core host is 2x oversubscribed and bounds the 8->32
-pair below what distinct executors would achieve; the 4->16 pair fits
-the host and is the more faithful proxy.
+Target >= 0.8 per BASELINE.json north_rule. Setup notes:
+- input splits: `spark.sql.files.maxPartitionBytes` is sized small so
+  the input yields {runs[max(runs)]['n_input_splits']} splits at every
+  level -- a 100 TB table yields far more splits than executors at any
+  cluster size, so splits >> cores at both levels is the faithful
+  proxy (the 128 MB default packed the ~3 MB bench files into ~16
+  splits, silently capping scan+match parallelism below local[32];
+  A/B at local[16]: 19.6 s with 64 splits vs 25.2 s with 16).
+- local-mode caveat: every "core" runs a JVM task thread AND a
+  separate Python worker process, so local[32] on a 32-core host is 2x
+  oversubscribed and bounds the 8->32 pair below what distinct
+  executors would achieve; the 4->16 pair fits the host and is the
+  more faithful proxy.
+
+**Batch serial floor** (fit T(c) = W/c + C on the 4->16 pair):
+W = {round(w_par, 1)} s of perfectly parallel work and
+C = {round(c_ser, 1)} s of per-RUN serial cost (job submission, AQE
+planning, broadcast build, final single-partition agg); the fit
+predicts local[32] at {round(pred32, 1)} s vs {runs[32]['batch_s']} s
+measured. C is invariant with cores and amortizes with input size — at
+100 TB (~3x10^5 times this input) the same C is noise — so the batch
+pair reflects the local harness floor, not the plan shape. The
+streaming pipeline (the product, per north_rule) is measured at
+steady state from per-micro-batch progress and is the binding number.
 
 Raw: `{json.dumps(result)}`
 

@@ -63,10 +63,13 @@ def main():
         (excludes JVM/query setup and the final no-data batch)."""
         tmp = tempfile.mkdtemp(prefix=f"scale{cpus}_{tag}_")
         try:
+            # 32 files/trigger: with one split per file this keeps the
+            # per-micro-batch task count >= cores at EVERY level (16
+            # files would cap the match stage below local[32])
             q, _ = start_pipeline(
                 spark, input_dir, rules,
                 out_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
-                watermark="10 minutes", max_files_per_trigger=16,
+                watermark="10 minutes", max_files_per_trigger=32,
             )
             q.awaitTermination(3600)
             rows = dur = 0

@@ -278,6 +278,26 @@ def test_multimodal_decode_features(spark):
     assert af[0] == 2.0 and af[1] == rate / 1000.0 and int(af[2]) == len(samp)
 
 
+def test_multimodal_quarantine(spark):
+    """Corrupt payloads land in the err column; good rows decode."""
+    import pyspark.sql.functions as Fn
+
+    media = M.synth_media(spark, n=9)
+    bad = spark.createDataFrame(
+        [(99, "image", bytearray(b"corrupt bytes here"), (0, 0, None, "bmp24"))],
+        schema=M.MEDIA_SCHEMA,
+    )
+    got = M.decode_features_safe(media.unionByName(bad), dim=8).toPandas()
+    assert len(got) == 10
+    bad_row = got[got.media_id == 99].iloc[0]
+    assert bad_row["err"] is not None and "ValueError" in bad_row["err"]
+    assert got[got.media_id != 99]["err"].isna().all()
+    # clean rows agree with the raising decoder
+    strict = M.decode_features(media, dim=8).toPandas().sort_values("media_id")
+    safe = got[got.media_id != 99].sort_values("media_id")
+    assert [list(f) for f in strict["feature"]] == [list(f) for f in safe["feature"]]
+
+
 def test_frame_sample_plan(spark):
     media = M.synth_media(spark, n=30)
     plan = M.frame_sample_plan(media, every_ms=5000).toPandas()
