@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "tpch_q3_top_revenue",
     "tpch_q5_nation_revenue",
+    "tpch_q6_forecast",
+    "tpch_q18_large_orders",
+    "window_funcs_events",
+    "events_p95_udaf",
+    "salted_agg_by_user",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",

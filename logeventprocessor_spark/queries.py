@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -451,6 +452,109 @@ def q_topk_events_per_user(spark, sf_dir):
     )
 
 
+def q_window_funcs_events(spark, sf_dir):
+    """2.6 window-function surface beyond row_number: lag/lead (event
+    gaps), ntile quartiles, percent_rank -- one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    # integer-microsecond difference FIRST, divide once: (a/1e6 - b/1e6)
+    # in double loses ~2e-6 s at epoch magnitude and can flip round(,3)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (us - F.lag(us).over(wt)) / F.lit(1_000_000.0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(gap, 3).alias("gap_s"),
+        F.lead("event_id").over(wt).alias("next_event_id"),
+        F.ntile(4).over(wv).alias("value_quartile"),
+        F.round(F.percent_rank().over(wv), 6).alias("value_pct_rank"),
+    )
+
+
+def q_events_p95_udaf(spark, sf_dir):
+    """2.6 UDAF surface: a grouped-agg pandas UDF (Arrow-batched
+    per-group Series -> scalar) computing the p95 of value per type;
+    oracle is DuckDB quantile_cont (same linear interpolation)."""
+
+    @F.pandas_udf("double")
+    def p95(v: pd.Series) -> float:
+        return float(v.quantile(0.95))
+
+    @F.pandas_udf("double")
+    def p50(v: pd.Series) -> float:
+        return float(v.quantile(0.50))
+
+    # NOTE: grouped-agg pandas UDFs cannot mix with built-in aggregates
+    # in one agg() -- keep the whole aggregate list pandas-side
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(p95("value"), 4).alias("p95_value"),
+        F.round(p50("value"), 4).alias("p50_value"),
+    )
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """Sketch surface: HLL++ approx_count_distinct checked against the
+    exact count inside the query -- the oracle pins the exact count and
+    the invariant that the sketch lands within 5%."""
+    e = _events(spark, sf_dir)
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.02)
+    return e.groupBy("event_type").agg(
+        exact.alias("exact_users"),
+        (
+            F.abs(approx - exact) / exact <= 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
+def q_salted_agg_by_user(spark, sf_dir):
+    """Skew operator driver-verified: salted two-phase count/sum per
+    user equals the plain GROUP BY (oracle); the salt splits any
+    mega-key across reducers before the final S-row combine."""
+    from logeventprocessor_spark.operators.skew import salted_two_phase_agg
+
+    e = _events(spark, sf_dir)
+    out = salted_two_phase_agg(
+        e, "user_id", n_salts=8, sum_cols=["value"], det_cols=["event_id"]
+    )
+    return out.select(
+        "user_id", "n_events", F.round("sum_value", 4).alias("sum_value")
+    )
+
+
+class RegexAllMatchesUDTF:
+    """2.6 UDTF surface: one output row per regex match in the input
+    text (match_idx, matched). Row-based Python by design -- the UDTF
+    API demo; bulk regex work stays in the vectorized match operator."""
+
+    def eval(self, text: str, pattern: str):
+        import re as _re
+
+        if text is None:
+            return
+        for i, m in enumerate(_re.finditer(pattern, text.lower())):
+            yield i, m.group(0)
+
+
+def q_udtf_regex_matches(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    tf = udtf(RegexAllMatchesUDTF, returnType="match_idx int, matched string")
+    spark.udtf.register("regex_all_matches", tf)
+    _docs(spark, sf_dir).createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, m.match_idx, m.matched
+        FROM docs_for_udtf d,
+             LATERAL regex_all_matches(d.text, 'spark|window|merge') m
+        """
+    )
+
+
 def q_dedup_first_event_per_minute(spark, sf_dir):
     """T7 analog: dropDuplicates by (user, type, minute) keeping the
     first event id."""
@@ -596,6 +700,50 @@ def q_tpch_q5_nation_revenue(spark, sf_dir):
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q6_forecast(spark, sf_dir):
+    """TPC-H Q6: pure filter + aggregate -- every predicate must reach
+    the parquet scan (PushedFilters shows all four)."""
+    li = _li(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue")
+        )
+    )
+
+
+def q_tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18: HAVING subquery (orders whose total quantity > 300)
+    joined back to customer -- aggregate-then-join, broadcast of the
+    small filtered key set."""
+    li = _li(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = _li(spark, sf_dir, "orders")
+    c = _li(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
         )
     )
 
@@ -1047,6 +1195,59 @@ ORACLES: dict[str, str] = {
         WHERE r_name = 'ASIA'
         GROUP BY n_name
     """,
+    "tpch_q6_forecast": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q18_large_orders": """
+        SELECT c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice, total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY 1
+              HAVING round(sum(l_quantity), 2) > 300) b
+          ON o_orderkey = b.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+    """,
+    "window_funcs_events": """
+        SELECT user_id, event_id,
+               round((epoch_us(ts) - epoch_us(lag(ts) OVER wt)) / 1000000.0, 3)
+                 AS gap_s,
+               lead(event_id) OVER wt AS next_event_id,
+               CAST(ntile(4) OVER wv AS INTEGER) AS value_quartile,
+               round(percent_rank() OVER wv, 6) AS value_pct_rank
+        FROM events
+        WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wv AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    "events_p95_udaf": """
+        SELECT event_type, round(quantile_cont(value, 0.95), 4) AS p95_value,
+               round(quantile_cont(value, 0.50), 4) AS p50_value
+        FROM events GROUP BY event_type
+    """,
+    "approx_distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS exact_users,
+               TRUE AS approx_within_5pct
+        FROM events GROUP BY event_type
+    """,
+    "salted_agg_by_user": """
+        SELECT user_id, count(*) AS n_events,
+               round(round(sum(value), 6), 4) AS sum_value
+        FROM events GROUP BY user_id
+    """,
+    "udtf_regex_matches": """
+        SELECT doc_id,
+               CAST(generate_subscripts(ms, 1) - 1 AS INTEGER) AS match_idx,
+               unnest(ms) AS matched
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), 'spark|window|merge') AS ms
+              FROM documents)
+    """,
     "tpch_q4_priority": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders o
@@ -1214,6 +1415,13 @@ def build_queries() -> dict:
         "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
         "tpch_q5_nation_revenue": q_tpch_q5_nation_revenue,
         "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q6_forecast": q_tpch_q6_forecast,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "window_funcs_events": q_window_funcs_events,
+        "events_p95_udaf": q_events_p95_udaf,
+        "approx_distinct_users": q_approx_distinct_users,
+        "salted_agg_by_user": q_salted_agg_by_user,
+        "udtf_regex_matches": q_udtf_regex_matches,
         "customers_without_orders": q_customers_without_orders,
         "asof_purchase_view": q_asof_purchase_view,
         "set_ops_users": q_set_ops_users,
