@@ -55,6 +55,17 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def dedup_stream_exact(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """STREAMING exact content dedup: normalized-md5 fingerprint (pure
+    column expressions) + ``dropDuplicatesWithinWatermark`` keyed on
+    the fingerprint -- state is one entry per distinct document within
+    the watermark horizon, evicted by event time (bounded at 10^12-row
+    scale). Requires ``withWatermark`` upstream."""
+    return with_fingerprint(stream, text_col).dropDuplicatesWithinWatermark(
+        ["fp_md5"]
+    )
+
+
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

@@ -99,6 +99,58 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert not got.duplicated(["conv_id", "turn_idx"]).any()
 
 
+def test_stream_exact_content_dedup(spark, tmp_path):
+    """Streaming exact dedup of the training-data family: duplicate
+    CONTENT (normalized text) collapses across different keys within
+    the watermark horizon."""
+    import os
+
+    from logeventprocessor_spark.operators.dedup import dedup_stream_exact
+    from logeventprocessor_spark.streaming.pipeline import (
+        read_transcripts_stream,
+    )
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["a", "b", "c", "d"],
+            "turn_idx": pd.array([0, 0, 0, 0], dtype="int32"),
+            "role": ["user"] * 4,
+            # rows 0/1 are the same text modulo case+whitespace; row 2
+            # differs by one word; row 3 is distinct
+            "text": [
+                "the quick brown fox",
+                "The  quick   BROWN fox",
+                "the quick brown wolf",
+                "something else",
+            ],
+            "tool": [""] * 4,
+            "ts": pd.to_datetime(["2024-03-01 10:00:00"] * 4).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    rows.to_parquet(f"{input_dir}/f.parquet", index=False)
+    s = read_transcripts_stream(spark, input_dir).withWatermark("ts", "10 minutes")
+    q = (
+        dedup_stream_exact(s)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(200)
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert len(got) == 3  # the normalized duplicate collapsed
+    assert not got["fp_md5"].duplicated().any()
+    texts = set(got["text"])
+    assert "the quick brown wolf" in texts and "something else" in texts
+    assert len({"the quick brown fox", "The  quick   BROWN fox"} & texts) == 1
+
+
 def test_union_second_source_and_empty_filter(spark, tmp_path):
     import os
 
