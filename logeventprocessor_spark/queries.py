@@ -511,6 +511,38 @@ def q_approx_distinct_users(spark, sf_dir):
     )
 
 
+def q_rollup_hourly_to_daily(spark, sf_dir):
+    """Hypertable-style continuous aggregate: the daily rollup is
+    derived by REAGGREGATING the hourly rollup (sums of partial
+    sums/counts -- algebraic aggregates compose), never rescanning the
+    raw events; the oracle aggregates raw directly, pinning that the
+    cascade loses nothing. At scale the hourly table is the persisted
+    materialization and day/month views reaggregate it."""
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    return hourly.groupBy(
+        F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("sv"), 4).alias("sum_value"),
+    )
+
+
+def q_approx_quantile_check(spark, sf_dir):
+    """Sketch surface #2: built-in percentile_approx (Greenwald-Khanna)
+    pinned to land within 2% of the exact median per event type."""
+    e = _events(spark, sf_dir)
+    exact = F.expr("percentile(value, 0.5)")
+    approx = F.percentile_approx("value", 0.5, 10_000)
+    return e.groupBy("event_type").agg(
+        F.round(exact, 4).alias("exact_median"),
+        (F.abs(approx - exact) / exact <= 0.02).alias("approx_within_2pct"),
+    )
+
+
 def q_salted_agg_by_user(spark, sf_dir):
     """Skew operator driver-verified: salted two-phase count/sum per
     user equals the plain GROUP BY (oracle); the salt splits any
@@ -1235,6 +1267,18 @@ ORACLES: dict[str, str] = {
                TRUE AS approx_within_5pct
         FROM events GROUP BY event_type
     """,
+    "rollup_hourly_to_daily": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+               count(*) AS n_events,
+               round(round(sum(value), 6), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "approx_quantile_check": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS exact_median,
+               TRUE AS approx_within_2pct
+        FROM events GROUP BY event_type
+    """,
     "salted_agg_by_user": """
         SELECT user_id, count(*) AS n_events,
                round(round(sum(value), 6), 4) AS sum_value
@@ -1420,6 +1464,8 @@ def build_queries() -> dict:
         "window_funcs_events": q_window_funcs_events,
         "events_p95_udaf": q_events_p95_udaf,
         "approx_distinct_users": q_approx_distinct_users,
+        "approx_quantile_check": q_approx_quantile_check,
+        "rollup_hourly_to_daily": q_rollup_hourly_to_daily,
         "salted_agg_by_user": q_salted_agg_by_user,
         "udtf_regex_matches": q_udtf_regex_matches,
         "customers_without_orders": q_customers_without_orders,
