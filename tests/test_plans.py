@@ -35,6 +35,41 @@ def test_entry_contract(spark):
     assert df.count() >= 0
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    """Co-located join via bucketing: writing both sides bucketBy(8,
+    key) lets the equi-join plan with ZERO Exchange -- the pre-shuffle
+    happened at write time (the repeated-join amortization at 100 TB).
+    """
+    from pyspark.sql import functions as F
+
+    from logeventprocessor_spark.operators.bucketing import (
+        bucketed_join,
+        plan_has_shuffle,
+        write_bucketed,
+    )
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    left = e.select("event_id", "user_id", "value")
+    right = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    write_bucketed(left, "bkt_left", ["user_id"], 8, sort_cols=["user_id"])
+    write_bucketed(right, "bkt_right", ["user_id"], 8, sort_cols=["user_id"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "bkt_left", "bkt_right", ["user_id"])
+        assert not plan_has_shuffle(j), "bucketed join must not shuffle"
+        # and it computes the right thing
+        got = j.groupBy().count().collect()[0][0]
+        assert got == left.count()
+        # the same join WITHOUT bucketing does shuffle (the baseline)
+        plain = left.join(right, "user_id")
+        assert plan_has_shuffle(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
 def test_every_query_has_oracle_or_documented_exception():
     """Every registered query is either DuckDB-oracled or one of the
     two documented rows-only cases (xxhash64 signatures / binary
