@@ -259,14 +259,10 @@ def minhash_lsh_pairs(
 def _fan_out(df: DataFrame) -> DataFrame:
     """Rebalance BEFORE an explode: tokenization/shingling amplifies
     rows ~|tokens|x, so the pre-explode partition count bounds the
-    parallelism of everything downstream. A 100 TB table arrives with
-    thousands of splits; a small local file arrives with ONE -- only
-    repartition when the input is narrower than the cluster."""
-    sc = df.sparkSession.sparkContext
-    p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
+    parallelism of everything downstream (shared impl: text.fan_out)."""
+    from logeventprocessor_spark.operators.text import fan_out
+
+    return fan_out(df)
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -32,6 +32,18 @@ def _ws_tokens(col):
     return F.split(F.trim(col), r"\s+")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Rebalance a NARROW input before per-row token/n-gram expansion:
+    the pre-transform partition count bounds downstream parallelism. A
+    100 TB table arrives with thousands of splits; a small local file
+    arrives with ONE -- only repartition when the input is narrower
+    than the cluster."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """whitespace token count + BPE-ish piece count + char count."""
     c = F.col(text_col)
@@ -112,4 +124,35 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.withColumn("fp_md5", F.md5(norm.cast("binary"))).withColumn(
         "fp_roll", roll
+    )
+
+
+def with_repetition_ratio(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of word n-grams
+    that are repeats of an earlier n-gram in the SAME document
+    (1 - distinct/total). Highly repetitive boilerplate scores near 1.
+    Pure column expressions (transform + array_distinct) -- no explode,
+    whole document stays one row; narrow inputs are rebalanced first
+    (higher-order fns are interpreted per element, so parallelism is
+    the lever).
+    """
+    df = fan_out(df)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(
+        F.size(toks) >= n,
+        F.round(1.0 - n_distinct.cast("double") / n_grams, 6),
+    )
+    return (
+        df.withColumn("n_grams", F.when(F.size(toks) >= n, n_grams))
+        .withColumn("rep_ratio", ratio)
     )

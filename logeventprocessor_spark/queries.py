@@ -837,6 +837,17 @@ def q_lang_id_pred(spark, sf_dir):
     return Tx.with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style n-gram repetition ratio per doc (training-data
+    quality signal) -- no explode, no shuffle."""
+    d = Tx.with_repetition_ratio(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.col("n_grams").cast("int").alias("n_grams"),
+        "rep_ratio",
+    ).filter(F.col("n_grams").isNotNull())
+
+
 def q_token_stats_by_lang(spark, sf_dir):
     d = Tx.with_token_counts(_docs(spark, sf_dir))
     return d.groupBy("lang").agg(
@@ -1392,6 +1403,23 @@ ORACLES: dict[str, str] = {
                ELSE 'zh' END AS lang_pred
         FROM sc
     """,
+    "doc_repetition": """
+        WITH g AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                 ) AS grams
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                FROM documents)
+          WHERE len(words) >= 3
+        )
+        SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+               round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                         / len(grams), 6) AS rep_ratio
+        FROM g
+    """,
     "token_stats_by_lang": """
         SELECT lang, count(*) AS n_docs,
                round(avg(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)), 4)
@@ -1476,6 +1504,7 @@ def build_queries() -> dict:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "text_quality": q_text_quality,
         "lang_id_pred": q_lang_id_pred,
+        "doc_repetition": q_doc_repetition,
         "token_stats_by_lang": q_token_stats_by_lang,
         "embedding_cosine_query": q_embedding_cosine_query,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,

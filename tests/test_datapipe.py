@@ -215,6 +215,19 @@ def test_token_counts_and_quality(spark, docs):
     assert row["stopword_ratio"] > 0  # 'the' x2 + 'over'
 
 
+def test_repetition_ratio(spark):
+    rows = [
+        (0, "spam spam spam spam spam spam"),  # 4 grams, 1 distinct
+        (1, "all words here are different okay"),  # 4 grams, 4 distinct
+        (2, "too short"),  # < 3 tokens -> null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = Tx.with_repetition_ratio(df).toPandas().set_index("doc_id")
+    assert got.loc[0, "rep_ratio"] == 0.75 and got.loc[0, "n_grams"] == 4
+    assert got.loc[1, "rep_ratio"] == 0.0
+    assert pd.isna(got.loc[2, "rep_ratio"])
+
+
 def test_lang_id_heuristic(spark):
     rows = [
         (0, "the cat is in the house and it is warm"),
