@@ -153,27 +153,50 @@ def ngram_jaccard_pairs(
 
 
 def _jaccard_verify(
-    cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
+    cand: DataFrame,
+    sh: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    broadcast_candidates: bool = True,
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate PAIRS, candidate-driven:
     join the pairs to the shingle lists (cand x |A| rows) instead of
-    re-exploding the full inverted index over candidate docs."""
+    re-exploding the full inverted index over candidate docs.
+
+    ``broadcast_candidates`` (default): the id-pair set is small BY
+    CONSTRUCTION (LSH/prefix pruning), so the first verify join
+    broadcasts it and the big shingle table streams with NO shuffle --
+    without the hint, AQE sometimes picks a sort-merge join that
+    shuffles the full shingle table (observed 3-10x wall-clock swings).
+    ``broadcast_pairs`` additionally broadcasts the (pairs x shingles
+    of doc_a) intermediate so the SECOND join avoids its shuffle too --
+    right only when candidates are few (banded LSH); a prefix-filter
+    candidate set times shingles-per-doc is too big to collect."""
     sa_ = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb_ = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    c = F.broadcast(cand) if broadcast_candidates else cand
+    pairs_a = sa_.join(c, "doc_a")
+    if broadcast_pairs:
+        pairs_a = F.broadcast(pairs_a)
     inter = (
-        cand.join(sa_, "doc_a")
-        .join(sb_, ["doc_b", "shingle"])
+        pairs_a.join(sb_, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return _jaccard_finish(inter, sizes, threshold)
+    return _jaccard_finish(inter, sizes, threshold, broadcast_candidates)
 
 
 def _jaccard_finish(
-    inter: DataFrame, sizes: DataFrame, threshold: float
+    inter: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    broadcast_inter: bool = False,
 ) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    if broadcast_inter:
+        inter = F.broadcast(inter)
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -253,7 +276,7 @@ def minhash_lsh_pairs(
     # shingle scan (localCheckpoint: no recompute, no cache leak)
     sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    return _jaccard_verify(cand, sh, sizes, threshold)
+    return _jaccard_verify(cand, sh, sizes, threshold, broadcast_pairs=True)
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
