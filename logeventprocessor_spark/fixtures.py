@@ -1,7 +1,7 @@
 """Deterministic repo-local fixture parquet files shared by the Spark
 queries and their DuckDB oracles.
 
-Two fixtures make otherwise un-oracle-able queries independently
+These fixtures make otherwise un-oracle-able queries independently
 checkable by the driver's DuckDB comparison:
 
 * ``transcripts``   -- the engine's canonical transcript corpus
@@ -15,15 +15,32 @@ checkable by the driver's DuckDB comparison:
   exists to find; the planted pairs give the LSH/ANN operators a
   non-trivial, deterministic ground truth that brute-force SQL can
   verify.
+* ``media``          -- the synthetic multimodal table (real BMP/WAV/
+  RAWV payloads) as parquet, so DuckDB can oracle the SQL-expressible
+  decode outputs (kind, octet_length(payload), header width/height vs
+  stored meta).
+* ``ivf_index`` / ``lsh_index`` -- PERSISTED ANN indexes over the
+  augmented embeddings, built ONCE here (driver-side numpy: KMeans /
+  hyperplane sign bits) so the registered probe queries are pure
+  read-only scans (round-2 verdict: a query must not mutate
+  .fixtures on first run). The Spark-side builders
+  (``similarity.ivf_build`` / ``similarity.lsh_build``) are the
+  100 TB-scale path and are pytest-verified to produce equivalent
+  probes; the fixture build only needs a few hundred vectors.
 
 Files are content-versioned by name (bump ``_V`` when generation
 logic changes) and written at most once; everything derives from
 seed 42 plus the driver's own parquet, so bytes are reproducible.
+Writes are atomic and concurrency-safe: per-process tmp names
+(pid suffix) + os.replace/os.rename, so a bench run and a pytest run
+racing on first use cannot observe half-written files.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -35,8 +52,11 @@ FIXTURES_ROOT = os.path.join(_REPO_ROOT, ".fixtures")
 
 _V = "v1"
 TRANSCRIPTS_N_CONVS = 40
-# sf dir the driver's oracle comparison runs at (oracle SQL strings are
-# static, so they embed the fixture paths for THIS sf)
+MEDIA_N = 60
+# sf dir the driver's oracle comparison runs at. The oracle SQL strings
+# are STATIC, so the embedding/ANN oracles embed fixture paths for THIS
+# sf -- the driver protocol compares at sf0.01; comparing at any other
+# sf would mismatch by construction.
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
@@ -44,6 +64,27 @@ def _dir(*parts: str) -> str:
     d = os.path.join(FIXTURES_ROOT, *parts)
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def _atomic_write_table(table: pa.Table, path: str) -> None:
+    """Write a parquet file atomically; safe under concurrent writers
+    (per-pid tmp name, os.replace is atomic on POSIX)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def _atomic_rename_dir(tmp_dir: str, path: str) -> None:
+    """Promote a fully-built tmp directory to its final name; if a
+    concurrent builder won the race, discard ours (contents are
+    deterministic, so either copy is correct)."""
+    try:
+        os.rename(tmp_dir, path)
+    except OSError:
+        if os.path.isdir(path):
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        else:
+            raise
 
 
 def transcripts_fixture_path(ensure: bool = True) -> str:
@@ -55,7 +96,7 @@ def transcripts_fixture_path(ensure: bool = True) -> str:
         from logeventprocessor_spark.generator import make_transcripts
 
         pdf = make_transcripts(n_convs=TRANSCRIPTS_N_CONVS, seed=42)
-        tmp = path + ".tmp"
+        tmp = f"{path}.tmp.{os.getpid()}"
         pdf.to_parquet(tmp, index=False)
         os.replace(tmp, path)
     return path
@@ -118,10 +159,104 @@ def augmented_embeddings_path(sf_dir: str, ensure: bool = True) -> str:
                 ),
             }
         )
-        tmp = path + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
+        _atomic_write_table(table, path)
     return path
+
+
+def _read_aug(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(augmented_embeddings_path(sf_dir))
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype="int64")
+    vecs = np.stack(
+        [np.asarray(v, dtype="float32") for v in t.column("embedding").to_pylist()]
+    )
+    return ids, vecs
+
+
+def query_vector(sf_dir: str) -> list[float]:
+    """The vec_id=0 query vector, read driver-side via pyarrow (no
+    Spark job -- the fixture file is local and small)."""
+    ids, vecs = _read_aug(sf_dir)
+    return [float(x) for x in vecs[int(np.where(ids == 0)[0][0])]]
+
+
+def embedding_dim(sf_dir: str) -> int:
+    pf = pq.ParquetFile(augmented_embeddings_path(sf_dir))
+    batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch.column(0)[0])
+
+
+# ------------------------- media fixture -------------------------
+
+def media_fixture_path(ensure: bool = True) -> str:
+    """The synthetic multimodal table (real encoded payloads) as
+    parquet, readable by BOTH Spark and DuckDB: (media_id, kind,
+    payload binary, meta struct<width,height,duration_ms,codec>)."""
+    path = os.path.join(_dir("common"), f"media_seed42_{_V}.parquet")
+    if ensure and not os.path.exists(path):
+        from logeventprocessor_spark.operators.multimodal import synth_media_rows
+
+        rows = synth_media_rows(n=MEDIA_N, seed=42)
+        meta_type = pa.struct(
+            [
+                ("width", pa.int32()),
+                ("height", pa.int32()),
+                ("duration_ms", pa.int32()),
+                ("codec", pa.string()),
+            ]
+        )
+        table = pa.table(
+            {
+                "media_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "kind": pa.array([r[1] for r in rows], type=pa.string()),
+                "payload": pa.array(
+                    [bytes(r[2]) for r in rows], type=pa.binary()
+                ),
+                "meta": pa.array(
+                    [
+                        {
+                            "width": r[3][0],
+                            "height": r[3][1],
+                            "duration_ms": r[3][2],
+                            "codec": r[3][3],
+                        }
+                        for r in rows
+                    ],
+                    type=meta_type,
+                ),
+            }
+        )
+        _atomic_write_table(table, path)
+    return path
+
+
+# ------------------------- ANN index fixtures -------------------------
+
+def _kmeans_numpy(
+    vecs: np.ndarray, k: int, seed: int, n_iter: int = 25
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic Lloyd's KMeans (kmeans++ init, fixed iterations)
+    -- the driver-side stand-in for the Spark builder at fixture scale.
+    Returns (centers (k,d), assignment (n,))."""
+    rng = np.random.RandomState(seed)
+    x = vecs.astype("float64")
+    n = len(x)
+    centers = [x[int(rng.randint(n))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [((x - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centers.append(x[int(rng.choice(n, p=p))])
+    c = np.stack(centers)
+    assign = np.zeros(n, dtype="int64")
+    for _ in range(n_iter):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+    return c, assign
 
 
 def ivf_index_path(sf_dir: str) -> str:
@@ -131,24 +266,110 @@ def ivf_index_path(sf_dir: str) -> str:
     return os.path.join(_dir(tag), f"ivf_index_{_V}")
 
 
-def query_vector(sf_dir: str) -> list[float]:
-    """The vec_id=0 query vector, read driver-side via pyarrow (no
-    Spark job -- the fixture file is local and small)."""
-    t = pq.read_table(
-        augmented_embeddings_path(sf_dir), columns=["vec_id", "embedding"]
+def ivf_index_fixture(sf_dir: str, n_lists: int = 8, seed: int = 42) -> str:
+    """Ensure the persisted IVF index exists (built driver-side, numpy
+    KMeans); the layout matches ``similarity.ivf_build`` exactly
+    (centers.json + lists/_list=N/*.parquet), so ``ivf_load_topk``
+    probes it with genuine partition pruning. The build is atomic: the
+    tree is assembled under a pid-suffixed tmp dir, centers.json LAST,
+    then renamed into place -- a crash mid-build leaves no
+    half-index that later runs would trust."""
+    path = ivf_index_path(sf_dir)
+    if os.path.exists(os.path.join(path, "centers.json")):
+        return path
+    if os.path.isdir(path):  # half-built leftover from a crash
+        shutil.rmtree(path, ignore_errors=True)
+    ids, vecs = _read_aug(sf_dir)
+    centers, assign = _kmeans_numpy(vecs, n_lists, seed)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    for j in range(n_lists):
+        m = assign == j
+        if not m.any():
+            continue
+        d = os.path.join(tmp, "lists", f"_list={j}")
+        os.makedirs(d, exist_ok=True)
+        table = pa.table(
+            {
+                "vec_id": pa.array(ids[m], type=pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs[m]], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        pq.write_table(table, os.path.join(d, "part-0.parquet"))
+    with open(os.path.join(tmp, "centers.json"), "w") as f:
+        json.dump(
+            {
+                "n_lists": n_lists,
+                "seed": seed,
+                "centers": [[float(x) for x in c] for c in centers],
+            },
+            f,
+        )
+    _atomic_rename_dir(tmp, path)
+    return path
+
+
+def lsh_index_path(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(_dir(tag), f"lsh_index_{_V}")
+
+
+def lsh_index_fixture(
+    sf_dir: str, bands: int = 12, rows_per_band: int = 8, seed: int = 42
+) -> str:
+    """Ensure the persisted banded-LSH index exists: the band-bucket
+    array column is MATERIALIZED next to each vector (meta.json +
+    data.parquet), so probes are plain columnar scans with
+    ``arrays_overlap`` -- no UDF in the probe plan. Layout matches
+    ``similarity.lsh_build``."""
+    path = lsh_index_path(sf_dir)
+    if os.path.exists(os.path.join(path, "meta.json")):
+        return path
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    from logeventprocessor_spark.operators.similarity import (
+        _hyperplanes,
+        band_bucket_strings,
     )
-    idx = t.column("vec_id").to_pylist().index(0)
-    return [float(x) for x in t.column("embedding")[idx].as_py()]
 
-
-def embedding_dim(sf_dir: str) -> int:
-    pf = pq.ParquetFile(augmented_embeddings_path(sf_dir))
-    batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
-    return len(batch.column(0)[0])
+    ids, vecs = _read_aug(sf_dir)
+    dim = vecs.shape[1]
+    planes = _hyperplanes(dim, bands * rows_per_band, seed)
+    buckets = band_bucket_strings(vecs.astype("float64"), planes, bands)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+            ),
+            "buckets": pa.array(buckets, type=pa.list_(pa.string())),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp, "data.parquet"))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(
+            {"bands": bands, "rows_per_band": rows_per_band, "seed": seed,
+             "dim": dim},
+            f,
+        )
+    _atomic_rename_dir(tmp, path)
+    return path
 
 
 def ensure_oracle_fixtures() -> None:
     """Write every fixture the STATIC oracle SQL strings reference, so
-    the driver can run the oracles regardless of call order."""
+    the driver can run the oracles regardless of call order. The
+    embedding-derived fixtures need the driver's sf0.01 parquet; on a
+    machine without it, skip them (their oracles could not run there
+    anyway) instead of failing the mere enumeration of the dict."""
     transcripts_fixture_path()
-    augmented_embeddings_path(ORACLE_SF_DIR)
+    media_fixture_path()
+    if os.path.isdir(ORACLE_SF_DIR):
+        augmented_embeddings_path(ORACLE_SF_DIR)
+        ivf_index_fixture(ORACLE_SF_DIR)
+        lsh_index_fixture(ORACLE_SF_DIR)

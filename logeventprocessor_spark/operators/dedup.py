@@ -347,25 +347,38 @@ def _simhash_block_pairs(
     via the block-permutation trick. EXACT (full recall) whenever
     max_hamming < n_blocks: by pigeonhole a pair within distance d
     spread over n_blocks blocks must agree on >= n_blocks - d of them.
+
+    The blocks PARTITION all n_bits (variable widths when n_blocks does
+    not divide n_bits -- e.g. 7 blocks over 64 bits = widths
+    10,9,9,9,9,9,9); a bit left out of every block would break the
+    pigeonhole argument, so full coverage is structural, not optional.
     """
-    width = n_bits // n_blocks
-    mask = (1 << width) - 1
+    assert max_hamming < n_blocks, (
+        f"full recall needs max_hamming < n_blocks "
+        f"(got max_hamming={max_hamming}, n_blocks={n_blocks}): a pair "
+        f"whose differing bits spread across all blocks would be missed"
+    )
+    base, rem = divmod(n_bits, n_blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    block_exprs = []
+    for i in range(n_blocks):
+        mask = (1 << widths[i]) - 1
+        # arithmetic shiftright sign-extends above the block, but the
+        # mask truncates to exactly this block's bits -- correct even
+        # for the block containing the sign bit
+        block_exprs.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+        )
     blocks = sig.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftright(F.col("simhash"), i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("b"),
+        F.explode(F.array(*block_exprs)).alias("b"),
     ).select(
         "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     )
@@ -408,15 +421,20 @@ def simhash_md5_pairs(
 
 def simhash_pairs(
     df: DataFrame,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= max_hamming, using
-    the block-permutation trick: split the 64-bit sig into n_blocks
-    16-bit blocks; a pair within distance d < n_blocks must agree on
-    >=1 block -> join per block, then verify exact hamming."""
+    """EXACT near-dup pairs by 64-bit xxhash SimHash hamming distance
+    <= max_hamming via the block-permutation trick: a pair within
+    distance d < n_blocks must agree on >=1 block -> join per block,
+    verify exact hamming. ``n_blocks`` defaults to max_hamming + 1 --
+    the minimum satisfying the pigeonhole exactness condition (round-2
+    verdict: the old fixed n_blocks=4 silently missed pairs at
+    hamming >= 4 whose differing bits spread across all four blocks)."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
     return _simhash_block_pairs(
         simhash(df, id_col, text_col), 64, n_blocks, max_hamming
     )

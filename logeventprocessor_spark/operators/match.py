@@ -178,52 +178,106 @@ def _compiled(payload: tuple) -> list:
     return got
 
 
+def _match_batch(pdf: pd.DataFrame, compiled: list) -> pd.DataFrame | None:
+    """Vectorized match of one Arrow batch against a compiled rule
+    list; returns MATCHES_SCHEMA-ordered rows or None."""
+    import warnings
+
+    text = pdf["text"].fillna("")
+    # one lowercase pass shared by every rule's literal
+    # pre-filter (substring scan ~10x cheaper than the regex)
+    lowered = text.str.lower()
+    outs = []
+    for rule_id, rule_idx, pat, extract_pat, literal in compiled:
+        cand = text
+        if literal is not None:
+            pre = lowered.str.contains(literal, regex=False, na=False)
+            if not pre.any():
+                continue
+            cand = text[pre]
+        with warnings.catch_warnings():
+            # pandas warns that a grouped pattern in contains()
+            # discards groups -- intended: groups are read in
+            # the extract() pass below.
+            warnings.simplefilter("ignore", UserWarning)
+            sub_mask = cand.str.contains(pat, na=False)
+        if not sub_mask.any():
+            continue
+        matched = cand[sub_mask]
+        sub = pdf.loc[matched.index, ["conv_id", "turn_idx", "text", "ts"]].copy()
+        ext = matched.str.extract(extract_pat, expand=True).iloc[:, 0]
+        sub["rule_id"] = rule_id
+        sub["rule_idx"] = rule_idx
+        sub["extracted"] = ext.fillna("").values
+        outs.append(sub)
+    if not outs:
+        return None
+    out = pd.concat(outs, ignore_index=True)
+    return out[
+        ["conv_id", "turn_idx", "rule_id", "rule_idx", "extracted", "text", "ts"]
+    ]
+
+
 def match_turns(turns: DataFrame, rules: list[Rule]) -> DataFrame:
     """turns(conv_id, turn_idx, text, ts, ...) -> MATCHES_SCHEMA rows."""
     payload = _rules_payload(rules)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import warnings
-
         compiled = _compiled(payload)
         for pdf in batches:
             if pdf.empty:
                 continue
-            text = pdf["text"].fillna("")
-            # one lowercase pass shared by every rule's literal
-            # pre-filter (substring scan ~10x cheaper than the regex)
-            lowered = text.str.lower()
-            outs = []
-            for rule_id, rule_idx, pat, extract_pat, literal in compiled:
-                cand = text
-                cand_idx = None
-                if literal is not None:
-                    pre = lowered.str.contains(literal, regex=False, na=False)
-                    if not pre.any():
-                        continue
-                    cand = text[pre]
-                    cand_idx = pre
-                with warnings.catch_warnings():
-                    # pandas warns that a grouped pattern in contains()
-                    # discards groups -- intended: groups are read in
-                    # the extract() pass below.
-                    warnings.simplefilter("ignore", UserWarning)
-                    sub_mask = cand.str.contains(pat, na=False)
-                if not sub_mask.any():
-                    continue
-                matched = cand[sub_mask]
-                sub = pdf.loc[matched.index, ["conv_id", "turn_idx", "text", "ts"]].copy()
-                ext = matched.str.extract(extract_pat, expand=True).iloc[:, 0]
-                sub["rule_id"] = rule_id
-                sub["rule_idx"] = rule_idx
-                sub["extracted"] = ext.fillna("").values
-                outs.append(sub)
-            if outs:
-                out = pd.concat(outs, ignore_index=True)
-                yield out[
-                    ["conv_id", "turn_idx", "rule_id", "rule_idx", "extracted",
-                     "text", "ts"]
-                ]
+            out = _match_batch(pdf, compiled)
+            if out is not None:
+                yield out
+
+    cols = [c for c in ("conv_id", "turn_idx", "text", "ts") if c in turns.columns]
+    return turns.select(*cols).mapInPandas(fn, schema=MATCHES_SCHEMA)
+
+
+# --- dynamic (hot-reload) rule loading: per-worker mtime-keyed cache ---
+# path -> (mtime_ns, payload, {rule_id: cooldown_ms for enabled rules})
+_DYN_CACHE: dict[str, tuple] = {}
+
+
+def dynamic_rules(path: str) -> tuple[tuple, dict]:
+    """The CURRENT rule file content as (match payload, cooldown map),
+    re-checked by mtime on every call -- one stat() per task, so a rule
+    edit takes effect on the next micro-batch WITHOUT restarting the
+    query (reference hot reload, main.cpp:185-241). Runs executor-side:
+    on a cluster ``path`` must be shared storage, exactly like the
+    reference's watched config file."""
+    import os
+
+    mtime = os.stat(path).st_mtime_ns
+    got = _DYN_CACHE.get(path)
+    if got is None or got[0] != mtime:
+        from logeventprocessor_spark.rules import load_rules_yaml
+
+        rules = load_rules_yaml(path)
+        got = (
+            mtime,
+            _rules_payload(rules),
+            {r.rule_id: r.cooldown_ms for r in rules if r.enabled},
+        )
+        _DYN_CACHE[path] = got
+    return got[1], got[2]
+
+
+def match_turns_dynamic(turns: DataFrame, rules_path: str) -> DataFrame:
+    """``match_turns`` against whatever rule set ``rules_path`` holds
+    AT EXECUTION TIME (per micro-batch), not at plan time -- the match
+    half of hot reload with persistent state."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        payload, _ = dynamic_rules(rules_path)
+        compiled = _compiled(payload)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = _match_batch(pdf, compiled)
+            if out is not None:
+                yield out
 
     cols = [c for c in ("conv_id", "turn_idx", "text", "ts") if c in turns.columns]
     return turns.select(*cols).mapInPandas(fn, schema=MATCHES_SCHEMA)

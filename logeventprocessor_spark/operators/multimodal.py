@@ -145,9 +145,11 @@ def decode_rawv(data: bytes) -> list[bytes]:
     return frames
 
 
-def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table with REAL encoded payloads
-    (BMP images, PCM16 WAV audio, RAWV multi-frame video)."""
+def synth_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
+    """Deterministic synthetic media rows with REAL encoded payloads
+    (BMP images, PCM16 WAV audio, RAWV multi-frame video) -- shared by
+    the Spark DataFrame builder and the fixture parquet writer so both
+    engines see byte-identical payloads."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
@@ -175,7 +177,12 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             payload = encode_rawv(frames)
             meta = (w, h, n_frames * 40, "rawv")
         rows.append((i, kind, bytearray(payload), meta))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """``synth_media_rows`` as a Spark DataFrame (MEDIA_SCHEMA)."""
+    return spark.createDataFrame(synth_media_rows(n, seed), schema=MEDIA_SCHEMA)
 
 
 # ------------------------- feature extraction -------------------------
@@ -251,6 +258,60 @@ def decode_features(media: DataFrame, dim: int = 16) -> DataFrame:
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         fn, schema=FEATURE_SCHEMA
+    )
+
+
+META_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def decode_meta(media: DataFrame) -> DataFrame:
+    """Header-level decode through the SAME byte-level parsers as
+    ``decode_features``, emitting only SQL-expressible columns:
+    (media_id, kind, n_bytes, width, height) -- width/height come from
+    the DECODED payload header (BMP dims; first RAWV frame's dims;
+    null for audio), never from the stored meta struct, so the DuckDB
+    oracle cross-checking against ``meta.width``/``octet_length``
+    genuinely verifies the decoder."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            widths, heights = [], []
+            for k, p in zip(pdf["kind"], pdf["payload"]):
+                data = bytes(p)
+                if k == "image":
+                    px = decode_bmp(data)
+                    heights.append(px.shape[0])
+                    widths.append(px.shape[1])
+                elif k == "video":
+                    px = decode_bmp(decode_rawv(data)[0])
+                    heights.append(px.shape[0])
+                    widths.append(px.shape[1])
+                else:  # audio: validate the header, dims are null
+                    decode_wav(data)
+                    widths.append(None)
+                    heights.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "n_bytes": pdf["payload"].map(len).astype("int32").values,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        fn, schema=META_DECODE_SCHEMA
     )
 
 

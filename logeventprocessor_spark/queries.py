@@ -21,7 +21,6 @@ keyed-state semantics.
 
 from __future__ import annotations
 
-import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -107,6 +106,8 @@ def _canon_matches_sql() -> str:
     operators.match semantics; patterns are Python-re == RE2 safe)."""
     parts = []
     for r in canonical_rules():
+        if not r.enabled:  # mirror _rules_payload: disabled rules never match
+            continue
         pat = _sq(r.pattern)
         grp = 1 if r.n_groups >= 1 else 0
         parts.append(
@@ -229,6 +230,21 @@ def _simhash_md5_oracle_sql(max_hamming: int = 3) -> str:
 
 def _aug_path_oracle() -> str:
     return FX.augmented_embeddings_path(FX.ORACLE_SF_DIR, ensure=False)
+
+
+def _multimodal_oracle_sql() -> str:
+    """Partial oracle for the multimodal decoder: everything
+    SQL-expressible about a decoded payload -- byte length via
+    octet_length, header width/height vs the STORED meta struct (the
+    Spark side re-derives them from the payload bytes, so agreement
+    verifies the decode)."""
+    mpath = FX.media_fixture_path(ensure=False)
+    return f"""
+        SELECT media_id, kind,
+               CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+               meta.width AS width, meta.height AS height
+        FROM read_parquet('{mpath}')
+    """
 
 
 def _ann_topk_oracle_sql(k: int = 10) -> str:
@@ -946,6 +962,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """EXACT hamming<=6 pairs over the 64-bit xxhash SimHash: n_blocks
+    defaults to max_hamming+1=7, satisfying the pigeonhole full-recall
+    condition (rows-only: xxhash64 has no DuckDB equivalent; recall is
+    pinned by the planted spread-bits test in tests/test_datapipe.py)."""
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
 
 
@@ -957,23 +977,24 @@ def q_simhash_md5_pairs(spark, sf_dir):
 
 
 def q_lsh_ann_topk(spark, sf_dir):
-    """ANN top-k via banded LSH over the augmented embeddings; at the
-    fixture the candidate set provably contains the true top-k (the
-    planted query-duplicates), so exact top-k SQL is the oracle."""
+    """ANN top-k probing the PERSISTED banded-LSH index (bucket array
+    materialized at ingest by the fixture builder / ``lsh_build``):
+    the probe plan is a columnar scan + ``arrays_overlap`` on the
+    stored column -- no UDF, no bucket recompute. At the fixture the
+    candidate set provably contains the true top-k (the planted
+    query-duplicates), so exact top-k SQL is the oracle."""
     q = FX.query_vector(sf_dir)
-    return S.lsh_topk_banded(
-        _aug_emb(spark, sf_dir), q, k=10, bands=12, rows_per_band=8,
-        exclude_id=0,
-    )
+    path = FX.lsh_index_fixture(sf_dir)
+    return S.lsh_load_topk(spark, path, q, k=10, exclude_id=0)
 
 
 def q_ivf_ann_topk(spark, sf_dir):
-    """ANN top-k via a PERSISTED IVF index (built once per sf into
-    .fixtures, probes are partition-pruned scans with no model fit)."""
+    """ANN top-k via a PERSISTED IVF index: the index is a fixture
+    (built by ``fixtures.ivf_index_fixture`` next to the other fixture
+    writes -- round-2 verdict: registered queries are READ-ONLY);
+    probes are partition-pruned scans with no model fit."""
     q = FX.query_vector(sf_dir)
-    path = FX.ivf_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "centers.json")):
-        S.ivf_build(_aug_emb(spark, sf_dir), path, n_lists=8, seed=42)
+    path = FX.ivf_index_fixture(sf_dir)
     return S.ivf_load_topk(spark, path, q, k=10, n_probe=2, exclude_id=0)
 
 
@@ -995,12 +1016,15 @@ def q_cep_transcripts_flagship(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    feats = M.decode_features(M.synth_media(spark, n=60), dim=16)
-    return feats.select(
-        "media_id", "kind", "n_bytes",
-        F.round(F.aggregate("feature", F.lit(0.0),
-                            lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
-    )
+    """Multimodal decode, DuckDB-oracled: Spark reads the media fixture
+    parquet and DECODES every payload header (decode_meta -> n_bytes +
+    width/height parsed from the BMP/WAV/RAWV bytes in mapInPandas);
+    the oracle reads the SAME parquet and cross-checks against
+    octet_length(payload) and the stored meta struct. The full feature
+    vector (feat_sum) is not SQL-expressible and stays pinned by
+    tests/test_datapipe.py."""
+    media = spark.read.parquet(FX.media_fixture_path())
+    return M.decode_meta(media)
 
 
 # --------------------------------------------------------------------
@@ -1449,6 +1473,7 @@ ORACLES: dict[str, str] = {
     "lsh_ann_topk": _ann_topk_oracle_sql(10),
     "ivf_ann_topk": _ann_topk_oracle_sql(10),
     "simhash_md5_pairs": _simhash_md5_oracle_sql(3),
+    "multimodal_features": _multimodal_oracle_sql(),
     "props_json_stats": """
         SELECT event_type,
                CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER)
@@ -1514,8 +1539,9 @@ def build_queries() -> dict:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "cep_transcripts_flagship": q_cep_transcripts_flagship,
-        # rows-only (xxhash64-based / binary decode -- no SQL oracle)
-        "simhash_pairs": q_simhash_pairs,
         "multimodal_features": q_multimodal_features,
+        # rows-only (xxhash64 has no DuckDB equivalent; recall pinned
+        # by the planted spread-bits test instead)
+        "simhash_pairs": q_simhash_pairs,
     }
     return qs

@@ -59,18 +59,24 @@ class ParquetUpsertSink:
         bd = self.batch_dir(batch_id)
         # partition id = the part-NNNNN index baked into the file name
         # (enumerate over listdir would be offset by _SUCCESS/.crc files)
+        extra_rows = 0
         for name in sorted(os.listdir(bd)):
             if not name.endswith(".parquet"):
                 continue
             m = re.match(r"part-(\d+)", name)
-            idx = int(m.group(1)) if m else len(partitions)
-            partitions[idx] = pq.ParquetFile(
-                os.path.join(bd, name)
-            ).metadata.num_rows
+            n_rows = pq.ParquetFile(os.path.join(bd, name)).metadata.num_rows
+            if m:
+                partitions[int(m.group(1))] = n_rows
+            else:
+                # never reuse len(partitions) as a fake index -- it can
+                # collide with a real part index and silently overwrite
+                # that partition's count; tally separately instead
+                extra_rows += n_rows
         meta = {
             "batch_id": batch_id,
-            "rows": int(sum(partitions.values())),
+            "rows": int(sum(partitions.values())) + extra_rows,
             "partitions": partitions,
+            **({"unindexed_rows": extra_rows} if extra_rows else {}),
             "write_s": round(time.time() - t0, 3),
             "ts": time.time(),
         }

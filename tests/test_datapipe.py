@@ -76,6 +76,48 @@ def test_simhash_near_dups(spark, docs):
     ps = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
     assert (0, 1) in ps
     assert (pairs["hamming"] <= 12).all()
+    # full recall: the pair set equals a brute-force hamming scan
+    brute = {
+        (a, b)
+        for a in sigs.index
+        for b in sigs.index
+        if a < b and bin(int(sigs[a]) ^ int(sigs[b])).count("1") <= 12
+    }
+    assert ps == brute
+
+
+def test_simhash_spread_bits_recall(spark):
+    """Round-2 verdict defect: differing bits spread across ALL blocks.
+    bits {5,15,25,35,45,55} hit every one of 4 16-bit blocks, so the
+    old fixed n_blocks=4 geometry at max_hamming=6 silently missed the
+    pair; with n_blocks=7 (the pigeonhole minimum, now the default via
+    n_blocks=max_hamming+1) at least one block must agree."""
+    spread = sum(1 << b for b in (5, 15, 25, 35, 45, 55))
+    sigs = [(0, 0), (1, spread), (2, (1 << 60) | 7)]
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+
+    got = D._simhash_block_pairs(df, 64, n_blocks=7, max_hamming=6).toPandas()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in got.itertuples(index=False)}
+    brute = {
+        (a, b): bin(sa ^ sb).count("1")
+        for a, sa in sigs
+        for b, sb in sigs
+        if a < b and bin(sa ^ sb).count("1") <= 6
+    }
+    assert (0, 1) in brute  # the planted spread pair, hamming 6
+    assert pairs == brute
+
+    # the old geometry is now rejected outright instead of silently lossy
+    with pytest.raises(AssertionError, match="full recall"):
+        D._simhash_block_pairs(df, 64, n_blocks=4, max_hamming=6)
+
+    # blocks must PARTITION all 64 bits: a pair differing only in the
+    # top bits (incl. the sign bit) is still caught
+    hi = spark.createDataFrame(
+        [(0, 0), (1, -(2**63))], "doc_id long, simhash long"
+    )
+    hp = D._simhash_block_pairs(hi, 64, n_blocks=2, max_hamming=1).toPandas()
+    assert len(hp) == 1 and hp.iloc[0]["hamming"] == 1
 
 
 @pytest.fixture(scope="module")
@@ -181,6 +223,51 @@ def test_ivf_persisted_probe_no_refit(spark, vecs, tmp_path, monkeypatch):
     # the probe scan is partition-pruned on _list
     plan = S.ivf_load_topk(spark, path, q, k=5, n_probe=2)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_lsh_persisted_probe_no_udf(spark, vecs, tmp_path):
+    """lsh_build materializes the band-bucket array at ingest; the
+    probe reads the STORED column (plan contains no Python UDF and no
+    bucket recompute) and returns the same rows as the on-the-fly
+    banded probe."""
+    df, base = vecs
+    path = str(tmp_path / "lsh")
+    S.lsh_build(df, path, bands=8, rows_per_band=4, dim=16)
+    q = [float(x) for x in base[0]]
+
+    probe = S.lsh_load_topk(spark, path, q, k=5)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "arrays_overlap" in plan
+    assert "buckets" in plan  # filters on the materialized column
+
+    got = probe.toPandas()
+    fly = S.lsh_topk_banded(df, q, k=5, bands=8, rows_per_band=4).toPandas()
+    assert got["vec_id"].tolist() == fly["vec_id"].tolist()
+    assert 0 in got["vec_id"].tolist() and 1 in got["vec_id"].tolist()
+
+
+def test_index_fixtures_probe_equals_exact(spark):
+    """The driver-side (numpy) index fixtures -- built with NO Spark
+    job -- serve probes whose top-k equals the exact brute-force top-k
+    over the augmented table (the planted query-dups are reachable
+    through both the IVF partition-pruned scan and the LSH
+    materialized-bucket scan)."""
+    from logeventprocessor_spark import fixtures as FX
+
+    sf = "/root/testdata/sf0.001"
+    q = FX.query_vector(sf)
+    aug = spark.read.parquet(FX.augmented_embeddings_path(sf))
+    exact = S.cosine_topk(aug.filter(F.col("vec_id") != 0), q, k=10).toPandas()
+
+    ivf = S.ivf_load_topk(
+        spark, FX.ivf_index_fixture(sf), q, k=10, n_probe=2, exclude_id=0
+    ).toPandas()
+    assert ivf["vec_id"].tolist() == exact["vec_id"].tolist()
+
+    lsh = S.lsh_load_topk(
+        spark, FX.lsh_index_fixture(sf), q, k=10, exclude_id=0
+    ).toPandas()
+    assert lsh["vec_id"].tolist() == exact["vec_id"].tolist()
 
 
 def test_augmented_embeddings_deterministic(tmp_path):
@@ -289,6 +376,42 @@ def test_multimodal_decode_features(spark):
     rate, samp = M.decode_wav(bytes(arow["payload"]))
     af = feats.set_index("media_id").loc[arow["media_id"], "feature"]
     assert af[0] == 2.0 and af[1] == rate / 1000.0 and int(af[2]) == len(samp)
+
+
+def test_multimodal_decode_meta_and_feat_sum(spark):
+    """decode_meta re-derives width/height/n_bytes from the payload
+    BYTES and must agree with the stored meta struct; the full feature
+    vector's sum (not SQL-expressible, so pinned here rather than by
+    the driver oracle) is deterministic and finite for every row."""
+    from logeventprocessor_spark import fixtures as FX
+
+    media = spark.read.parquet(FX.media_fixture_path())
+    got = M.decode_meta(media).toPandas().set_index("media_id")
+    src = media.select(
+        "media_id", "kind", F.length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"), F.col("meta.height").alias("height"),
+    ).toPandas().set_index("media_id")
+    assert len(got) == FX.MEDIA_N
+    for mid in src.index:
+        assert got.loc[mid, "n_bytes"] == src.loc[mid, "n_bytes"]
+        if src.loc[mid, "kind"] == "audio":
+            assert pd.isna(got.loc[mid, "width"])
+        else:
+            assert got.loc[mid, "width"] == src.loc[mid, "width"]
+            assert got.loc[mid, "height"] == src.loc[mid, "height"]
+
+    feats = M.decode_features(media, dim=16).toPandas()
+    sums = {
+        r.media_id: round(float(np.sum(np.asarray(r.feature, dtype="float64"))), 4)
+        for r in feats.itertuples(index=False)
+    }
+    assert len(sums) == FX.MEDIA_N and all(np.isfinite(v) for v in sums.values())
+    again = M.decode_features(media, dim=16).toPandas()
+    sums2 = {
+        r.media_id: round(float(np.sum(np.asarray(r.feature, dtype="float64"))), 4)
+        for r in again.itertuples(index=False)
+    }
+    assert sums == sums2
 
 
 def test_multimodal_quarantine(spark):

@@ -114,6 +114,114 @@ regex_rules:
     assert set(first["rule_id"]) == {"clarice_rule"}
 
 
+def test_hot_reload_preserves_cooldown_state(spark, tmp_path):
+    """The round-2 gap: edit a rule's pattern MID-STREAM (no query
+    restart) and (a) the new pattern takes effect on the next
+    micro-batch, (b) the suppression history of the UNTOUCHED cooldown
+    rule survives the swap -- a spam fire 40 min after the first one is
+    still suppressed by the 1 h cooldown even though the rule file
+    changed in between (reference: config swap main.cpp:185-241 leaves
+    the ActionManager cooldown map intact, ActionManager.h:148-150)."""
+    import time
+
+    from logeventprocessor_spark.streaming.pipeline import (
+        start_pipeline_with_reload,
+    )
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+                "role": ["user"] * len(rows),
+                "text": [r[2] for r in rows],
+                "tool": [""] * len(rows),
+                "ts": pd.to_datetime([r[3] for r in rows]).astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+
+    rules_path = str(tmp_path / "rules.yaml")
+    v1 = """
+regex_rules:
+  - name: spam_rule
+    pattern: ".*spam ping.*"
+    cooldown_ms: 3600000
+    action_type: command
+    action_value: "ack"
+  - name: other_rule
+    pattern: ".*clarice.*"
+    action_type: keystroke
+    action_value: "g woot"
+"""
+    v2 = v1.replace('".*clarice.*"', '".*\\\\[ERROR\\\\].*"')
+    with open(rules_path, "w") as f:
+        f.write(v1)
+
+    input_dir = str(tmp_path / "input")
+    os.makedirs(input_dir)
+    mk(
+        [
+            ("c1", 0, "spam ping", "2024-03-01 10:00:00"),
+            ("c1", 1, "spam ping again", "2024-03-01 10:30:00"),  # suppressed
+            ("c1", 2, "clarice says hi", "2024-03-01 10:31:00"),
+        ]
+    ).to_parquet(f"{input_dir}/a.parquet", index=False)
+
+    q, sink = start_pipeline_with_reload(
+        spark, input_dir, rules_path,
+        out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=False, max_files_per_trigger=None,
+    )
+
+    def wait_rows(pred, timeout=120):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                got = sink.read(spark).toPandas()
+                if pred(got):
+                    return got
+            except Exception:
+                pass  # no batch dir yet
+            time.sleep(1)
+        raise AssertionError("timed out waiting for stream output")
+
+    try:
+        first = wait_rows(lambda g: len(g) >= 2)
+        spam1 = first[first.rule_id == "spam_rule"]
+        assert len(spam1) == 1 and spam1.iloc[0]["turn_idx"] == 0
+        assert set(first[first.rule_id == "other_rule"]["turn_idx"]) == {2}
+
+        # --- edit the rule file mid-stream: other_rule's pattern only ---
+        with open(rules_path, "w") as f:
+            f.write(v2)
+        mk(
+            [
+                # 40 min after the 10:00 fire -> STILL inside the 1 h
+                # cooldown; only suppressed if state survived the edit
+                ("c1", 3, "spam ping late", "2024-03-01 10:40:00"),
+                ("c1", 4, "all good [ERROR] here", "2024-03-01 10:41:00"),
+                # 90 min after -> cooldown expired, fires
+                ("c1", 5, "spam ping fresh", "2024-03-01 11:30:00"),
+            ]
+        ).to_parquet(f"{input_dir}/b.parquet", index=False)
+
+        second = wait_rows(
+            lambda g: len(g[g.rule_id == "spam_rule"]) >= 2
+            and 4 in set(g[g.rule_id == "other_rule"]["turn_idx"])
+        )
+    finally:
+        q.stop()
+
+    spam = second[second.rule_id == "spam_rule"].sort_values("turn_idx")
+    # turn 3 suppressed (history survived the rule edit), turn 5 fired
+    assert spam["turn_idx"].tolist() == [0, 5]
+    # the edited pattern took effect without a restart
+    other = second[second.rule_id == "other_rule"].sort_values("turn_idx")
+    assert other["turn_idx"].tolist() == [2, 4]
+
+
 def test_observe_and_listener(spark, stream_input, tmp_path):
     pdf, input_dir, _ = stream_input
     rules = canonical_rules()
