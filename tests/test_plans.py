@@ -70,6 +70,44 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS bkt_right")
 
 
+def test_aqe_skew_join_split(spark):
+    """AQE splits the hot partition of a deliberately skewed join:
+    after execution the final plan shows ``skew=true`` on the
+    SortMergeJoin, and the result is exactly what the unskewed
+    semantics demand (round-2 verdict task #9: show the split firing,
+    don't just enable the conf)."""
+    from logeventprocessor_spark.operators.skew import (
+        SKEW_DEMO_CONF,
+        skew_join_demo,
+    )
+
+    old = {k: spark.conf.get(k, None) for k in SKEW_DEMO_CONF}
+    for k, v in SKEW_DEMO_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        j = skew_join_demo(spark, n_rows=400_000, n_keys=1_000)
+        # the action must CONSUME pad or pruning un-skews the shuffle;
+        # read the FINAL adaptive plan from the executed frame itself
+        agg = j.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.col("pad"))).alias("chk"),
+        )
+        row = agg.collect()[0]
+        assert row["n"] == 400_000  # every left row joins exactly once
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE skew split did not fire"
+        assert "SortMergeJoin" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_every_query_has_oracle_or_documented_exception():
     """Every registered query is DuckDB-oracled except the one
     documented rows-only case (xxhash64 signatures are not
