@@ -14,15 +14,15 @@ but still too large to scan twice:
 
     matches -> repartition(conv_id, rule_id)
             -> sortWithinPartitions(conv_id, rule_id, ts, turn_idx)
-            -> mapInPandas(group-aware greedy scan)
+            -> mapInArrow(C++ hot/cold split + group-aware greedy scan)
 
-``mapInPandas`` (not ``applyInPandas``) avoids one Python call per
+``mapInArrow`` (not ``applyInPandas``) avoids one Python call per
 (conv, rule) group -- a partition's many groups are processed in one
-Arrow batch with a vectorized pandas groupby; rows of zero-cooldown
-rules pass straight through inside the same batch. Because Arrow may
-split a partition into multiple record batches, the trailing group of
-each chunk is carried into the next chunk so no keyed scan is ever cut
-mid-group.
+Arrow batch; rows of zero-cooldown rules pass straight through as a
+zero-copy C++ filter and never become Python objects. Because Arrow
+may split a partition into multiple record batches, the trailing group
+of each chunk is carried into the next chunk so no keyed scan is ever
+cut mid-group.
 
 The streaming form (streaming/pipeline.py) keys real state by
 (conv_id, rule_id) via ``applyInPandasWithState`` and shares
@@ -49,7 +49,11 @@ def suppress_group(
     new last-fire time in ns) so the streaming path can persist state
     across micro-batches.
     """
-    ts_ns = g["ts"].astype("int64").to_numpy()
+    # normalize to ns regardless of the frame's datetime unit: pandas
+    # frames born from Arrow batches carry datetime64[us] (int64 cast
+    # would be microseconds -- a silent 1000x cooldown inflation),
+    # while applyInPandasWithState delivers datetime64[ns]
+    ts_ns = g["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
     keep = [False] * len(g)
     cd_ns = int(cooldown_ms) * 1_000_000
     last = last_fire_ns
@@ -60,27 +64,20 @@ def suppress_group(
     return g[pd.Series(keep, index=g.index)], last
 
 
-def _cooldown_chunk(pdf: pd.DataFrame, cooldowns: dict[str, int]) -> pd.DataFrame:
-    """Apply the greedy scan to every hot group in a sorted chunk;
-    zero-cooldown rows pass through untouched."""
-    hot_mask = pdf["rule_id"].isin(cooldowns).to_numpy()
-    if not hot_mask.any():
-        return pdf
-    cold = pdf[~hot_mask]
-    kept = [cold] if len(cold) else []
-    for (_, rule_id), g in pdf[hot_mask].groupby(
-        ["conv_id", "rule_id"], sort=False
-    ):
-        kept.append(suppress_group(g, cooldowns[rule_id])[0])
-    return pd.concat(kept, ignore_index=False) if kept else pdf.iloc[0:0]
-
-
 def apply_cooldown(
     matches: DataFrame, rules: list[Rule], num_partitions: int | None = None
 ) -> DataFrame:
     """matches (MATCHES_SCHEMA) -> matches with cooldown-suppressed
     fires removed. No-op (no shuffle at all) when no rule has a
-    cooldown."""
+    cooldown.
+
+    Arrow-native hot/cold split: rows of zero-cooldown rules are passed
+    through with a C++ filter (``pc.is_in``) and NEVER become pandas --
+    only the (typically small) cooldown-bearing subset is converted for
+    the keyed greedy scan. Converting every match row to pandas was the
+    dominant cost of this operator once match went Arrow-native
+    (profiled: cooldown 3.5 s of the 3.9 s batch pipeline at local[16],
+    5M turns)."""
     cooldowns = {r.rule_id: r.cooldown_ms for r in rules if r.cooldown_ms > 0}
     if not cooldowns:
         return matches
@@ -91,15 +88,50 @@ def apply_cooldown(
         else matches.repartition("conv_id", "rule_id")
     ).sortWithinPartitions("conv_id", "rule_id", "ts", "turn_idx")
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    hot_ids = sorted(cooldowns)
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        hot_set = pa.array(hot_ids, pa.string())
+        schema = None
         carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if pdf.empty:
+
+        def scan(pdf: pd.DataFrame) -> pa.RecordBatch | None:
+            kept = [
+                suppress_group(g, cooldowns[rule_id])[0]
+                for (_, rule_id), g in pdf.groupby(
+                    ["conv_id", "rule_id"], sort=False
+                )
+            ]
+            kept = [k for k in kept if len(k)]
+            if not kept:
+                return None
+            out = pd.concat(kept, ignore_index=True)
+            return pa.RecordBatch.from_pandas(
+                out, schema=schema, preserve_index=False
+            )
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
+            if schema is None:
+                schema = rb.schema
+            rule_col = rb.column(rb.schema.get_field_index("rule_id"))
+            hot_mask = pc.is_in(rule_col, value_set=hot_set)
+            cold = rb.filter(pc.invert(hot_mask))
+            if cold.num_rows:
+                yield cold  # zero-copy pass-through, no Python objects
+            hot = rb.filter(hot_mask)
+            if hot.num_rows == 0:
+                continue
+            pdf = hot.to_pandas()
             if carry is not None and len(carry):
                 pdf = pd.concat([carry, pdf], ignore_index=True)
-            # hold back the trailing (conv_id, rule_id) group: Arrow may
-            # have split this partition mid-group
+            # hold back the trailing (conv_id, rule_id) group: Arrow
+            # may have split this partition mid-group (rows are sorted,
+            # so only the LAST group can continue into the next batch)
             last = pdf.iloc[-1]
             tail = (pdf["conv_id"].to_numpy() == last["conv_id"]) & (
                 pdf["rule_id"].to_numpy() == last["rule_id"]
@@ -107,8 +139,12 @@ def apply_cooldown(
             carry = pdf[tail]
             head = pdf[~tail]
             if len(head):
-                yield _cooldown_chunk(head, cooldowns)
+                out = scan(head)
+                if out is not None:
+                    yield out
         if carry is not None and len(carry):
-            yield _cooldown_chunk(carry, cooldowns)
+            out = scan(carry)
+            if out is not None:
+                yield out
 
-    return rep.mapInPandas(fn, schema=MATCHES_SCHEMA)
+    return rep.mapInArrow(fn, schema=MATCHES_SCHEMA)

@@ -9,13 +9,18 @@ pattern has >=1 group else group(0) (ActionManager.cpp:72-77).
 
 Two implementations that must agree (tests pin this):
 
-* ``match_turns`` -- Arrow-vectorized ``mapInPandas``. Patterns are
+* ``match_turns`` -- Arrow-native ``mapInArrow``. Patterns are
   compiled ONCE per executor per rule-set (module-level cache keyed by
   a rules fingerprint -- the reference's regex precompilation,
   RegexMatcher.cpp:104-117, minus its per-event recompile anti-pattern
   at ActionManager.cpp:64 which we deliberately do NOT reproduce).
-  Matching itself is pandas ``str.contains`` / ``str.extract`` over the
-  whole Arrow batch -- no per-row Python in the hot path.
+  Three-tier filtering keeps the hot path off Python objects:
+  (1) a JVM-side codegen'd OR-of-contains pre-filter drops rows with
+  no rule's required literal BEFORE the Python boundary (Arrow IPC of
+  the turn stream is the operator's measured bottleneck);
+  (2) per-rule C++ substring scans (pyarrow.compute) on the zero-copy
+  batch pick candidates; (3) only candidates become Python strings for
+  the exact ``re`` search+extract.
   This is a broadcast nested-loop join in disguise: the rule list rides
   the task closure (a few KB), the turns side streams through in
   columnar batches, so the operator needs NO shuffle at all -- it
@@ -178,6 +183,86 @@ def _compiled(payload: tuple) -> list:
     return got
 
 
+def _arrow_match_batches(batches, compiled):
+    """Match a stream of Arrow RecordBatches against a compiled rule
+    list, STAYING in Arrow except for candidate rows.
+
+    Why Arrow-native (mapInArrow) instead of pandas (mapInPandas):
+    converting a batch to pandas materializes a Python str object for
+    EVERY text/conv_id value; profiled at 5M turns that conversion was
+    ~80% of the stage (a no-op mapInPandas cost 2.3 s where the whole
+    match cost 2.8 s) and its allocator pressure is what made the
+    stage scale at 0.41 efficiency from local[4] to local[16]
+    (scripts/match_scaling_probe.py). Here the literal pre-filter runs
+    as a C++ substring scan (pyarrow.compute.match_substring) over the
+    zero-copy column, only CANDIDATE rows become Python strings for
+    the exact ``re`` search+extract (identical semantics to the
+    reference: icase unanchored search, group(1)-else-group(0),
+    ActionManager.cpp:72-77), and output columns are assembled with
+    ``pc.take`` -- no full-column Python materialization anywhere.
+
+    Rules without a provable literal fall back to one pandas
+    conversion of the text column per batch (shared across such
+    rules), preserving exact pandas-path semantics.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        ncol = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+        text = pc.fill_null(ncol["text"], "")
+        lowered = pc.utf8_lower(text)
+        text_pd = None  # lazy: only built if some rule has no literal
+        for rule_id, rule_idx, pat, extract_pat, literal in compiled:
+            if literal is not None:
+                mask = pc.match_substring(lowered, literal)
+                cand_idx = pc.indices_nonzero(mask)
+                if len(cand_idx) == 0:
+                    continue
+                cand_texts = pc.take(text, cand_idx).to_pylist()
+                keep, extracted = [], []
+                grp = 1 if pat.groups >= 1 else 0
+                for j, t in enumerate(cand_texts):
+                    m = pat.search(t)
+                    if m is not None:
+                        keep.append(j)
+                        extracted.append(m.group(grp) or "")
+                if not keep:
+                    continue
+                idx = pc.take(cand_idx, pa.array(keep, pa.int64()))
+            else:
+                if text_pd is None:
+                    text_pd = text.to_pandas()
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", UserWarning)
+                    sub = text_pd[text_pd.str.contains(pat, na=False)]
+                if sub.empty:
+                    continue
+                ext = sub.str.extract(extract_pat, expand=True).iloc[:, 0]
+                extracted = ext.fillna("").tolist()
+                idx = pa.array(sub.index.to_numpy(), pa.int64())
+            n = len(idx)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(ncol["conv_id"], idx),
+                    pc.take(ncol["turn_idx"], idx),
+                    pa.array([rule_id] * n, pa.string()),
+                    pa.array([rule_idx] * n, pa.int32()),
+                    pa.array(extracted, pa.string()),
+                    pc.take(text, idx),
+                    pc.take(ncol["ts"], idx),
+                ],
+                names=[
+                    "conv_id", "turn_idx", "rule_id", "rule_idx",
+                    "extracted", "text", "ts",
+                ],
+            )
+
+
 def _match_batch(pdf: pd.DataFrame, compiled: list) -> pd.DataFrame | None:
     """Vectorized match of one Arrow batch against a compiled rule
     list; returns MATCHES_SCHEMA-ordered rows or None."""
@@ -219,20 +304,34 @@ def _match_batch(pdf: pd.DataFrame, compiled: list) -> pd.DataFrame | None:
 
 
 def match_turns(turns: DataFrame, rules: list[Rule]) -> DataFrame:
-    """turns(conv_id, turn_idx, text, ts, ...) -> MATCHES_SCHEMA rows."""
+    """turns(conv_id, turn_idx, text, ts, ...) -> MATCHES_SCHEMA rows
+    (Arrow-native mapInArrow -- see ``_arrow_match_batches``).
+
+    When EVERY enabled rule has a provable required literal, a
+    JVM-side codegen'd pre-filter (OR of ``contains(lower(text), lit)``)
+    drops non-candidate rows BEFORE the Python boundary -- the Arrow
+    IPC transfer of the turn stream is the measured bottleneck of this
+    operator (scripts/match_scaling_probe.py), and a row containing no
+    rule's literal cannot match any rule, so only candidates need to
+    cross. The Python side re-applies its own per-rule prefilter +
+    exact ``re`` semantics, so this is purely a row-volume reduction.
+    """
     payload = _rules_payload(rules)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        compiled = _compiled(payload)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            out = _match_batch(pdf, compiled)
-            if out is not None:
-                yield out
+    def fn(batches):
+        yield from _arrow_match_batches(batches, _compiled(payload))
 
     cols = [c for c in ("conv_id", "turn_idx", "text", "ts") if c in turns.columns]
-    return turns.select(*cols).mapInPandas(fn, schema=MATCHES_SCHEMA)
+    src = turns.select(*cols)
+    lits = {prefilter_literal(p) for (_, _, p) in payload}
+    if payload and None not in lits:
+        low = F.lower(F.col("text"))
+        cond = None
+        for lit in sorted(lits):
+            c = low.contains(F.lit(lit))
+            cond = c if cond is None else (cond | c)
+        src = src.filter(F.coalesce(cond, F.lit(False)))
+    return src.mapInArrow(fn, schema=MATCHES_SCHEMA)
 
 
 # --- dynamic (hot-reload) rule loading: per-worker mtime-keyed cache ---
@@ -269,18 +368,12 @@ def match_turns_dynamic(turns: DataFrame, rules_path: str) -> DataFrame:
     AT EXECUTION TIME (per micro-batch), not at plan time -- the match
     half of hot reload with persistent state."""
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches):
         payload, _ = dynamic_rules(rules_path)
-        compiled = _compiled(payload)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            out = _match_batch(pdf, compiled)
-            if out is not None:
-                yield out
+        yield from _arrow_match_batches(batches, _compiled(payload))
 
     cols = [c for c in ("conv_id", "turn_idx", "text", "ts") if c in turns.columns]
-    return turns.select(*cols).mapInPandas(fn, schema=MATCHES_SCHEMA)
+    return turns.select(*cols).mapInArrow(fn, schema=MATCHES_SCHEMA)
 
 
 def _java_pattern(pattern: str, for_extract: bool) -> str:

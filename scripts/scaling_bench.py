@@ -135,16 +135,28 @@ Target >= 0.8 per BASELINE.json north_rule. Setup notes:
   executors would achieve; the 4->16 pair fits the host and is the
   more faithful proxy.
 
-**Batch serial floor** (fit T(c) = W/c + C on the 4->16 pair):
-W = {round(w_par, 1)} s of perfectly parallel work and
-C = {round(c_ser, 1)} s of per-RUN serial cost (job submission, AQE
-planning, broadcast build, final single-partition agg); the fit
-predicts local[32] at {round(pred32, 1)} s vs {runs[32]['batch_s']} s
-measured. C is invariant with cores and amortizes with input size — at
-100 TB (~3x10^5 times this input) the same C is noise — so the batch
-pair reflects the local harness floor, not the plan shape. The
-streaming pipeline (the product, per north_rule) is measured at
-steady state from per-micro-batch progress and is the binding number.
+**Batch scaling analysis** (round 3, REPLACING round 2's serial-floor
+story): the naive fit T(c) = W/c + C on the 4->16 pair gives
+W = {round(w_par, 1)} s, C = {round(c_ser, 1)} s (predicts local[32]
+at {round(pred32, 1)} s vs {runs[32]['batch_s']} s measured), but a
+direct measurement falsified the model — the ACTUAL per-run serial
+cost on a tiny input is ~0.9 s (scripts/batch_floor.py: bare job
+0.17 s, +match 0.48 s, +cooldown 0.67 s, +steps join 0.92 s). The
+remaining gap is SUB-LINEAR SCALING of the Arrow/Python boundary
+itself: a NO-OP mapInPandas over the same input scaled 4->16 at 0.43
+efficiency with zero Python work, and with 64 splits it did not scale
+at all (3.6 s -> 3.7 s) — the JVM row->Arrow copy, IPC, and Python
+materialization of N workers saturate ONE host's memory bus
+(scripts/match_scaling_probe.py). Round-3 mitigations (measured at
+local[16] on 5M turns): match went mapInArrow + JVM-side literal
+prefilter so non-candidate rows never cross the boundary
+(2.83 s -> 1.44 s, stage efficiency 0.41 -> 0.60), and cooldown
+passes zero-cooldown rows through as a C++ filter, converting only
+the cooldown-bearing subset to pandas. On a real cluster each
+executor has its own memory bus, so this saturation is a single-host
+artifact; the streaming pipeline (the product, per north_rule) is
+measured at steady state from per-micro-batch progress and is the
+binding number.
 
 Raw: `{json.dumps(result)}`
 
