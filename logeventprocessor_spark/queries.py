@@ -574,6 +574,44 @@ def q_salted_agg_by_user(spark, sf_dir):
     )
 
 
+def q_orders_above_cust_avg(spark, sf_dir):
+    """Correlated scalar subquery (2.6 relational surface): orders
+    priced >= 1.5x their own customer's average order price. Catalyst
+    DECORRELATES the subquery into an aggregate + join -- the plan to
+    check is one shuffle on o_custkey, no per-row re-execution (the
+    classic pre-optimizer trap at 100 TB)."""
+    _li(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_v o
+        WHERE o_totalprice >= 1.5 * (
+          SELECT avg(o2.o_totalprice) FROM orders_v o2
+          WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+def q_events_pivot_daily(spark, sf_dir):
+    """PIVOT (2.6): events rotated to one column per event type with
+    daily counts + summed value. Spark plans it as a single partial+
+    final pivot aggregate (one shuffle on day); the explicit value
+    list keeps the plan static (no distinct-scan pre-pass) -- required
+    at scale where an unlisted pivot means an extra full scan."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    e = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    p = e.groupBy("day").pivot("event_type", types).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return p.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in types],
+    )
+
+
 class RegexAllMatchesUDTF:
     """2.6 UDTF surface: one output row per regex match in the input
     text (match_idx, matched). Row-based Python by design -- the UDTF
@@ -1474,6 +1512,23 @@ ORACLES: dict[str, str] = {
     "ivf_ann_topk": _ann_topk_oracle_sql(10),
     "simhash_md5_pairs": _simhash_md5_oracle_sql(3),
     "multimodal_features": _multimodal_oracle_sql(),
+    "orders_above_cust_avg": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice >= 1.5 * (
+          SELECT avg(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey)
+    """,
+    # dialect-portable pivot oracle: conditional aggregation
+    "events_pivot_daily": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        FROM events GROUP BY 1
+    """,
     "props_json_stats": """
         SELECT event_type,
                CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER)
@@ -1521,6 +1576,8 @@ def build_queries() -> dict:
         "rollup_hourly_to_daily": q_rollup_hourly_to_daily,
         "salted_agg_by_user": q_salted_agg_by_user,
         "udtf_regex_matches": q_udtf_regex_matches,
+        "orders_above_cust_avg": q_orders_above_cust_avg,
+        "events_pivot_daily": q_events_pivot_daily,
         "customers_without_orders": q_customers_without_orders,
         "asof_purchase_view": q_asof_purchase_view,
         "set_ops_users": q_set_ops_users,
