@@ -127,6 +127,13 @@ def ngram_jaccard_pairs(
                 F.col("rk")
                 <= F.floor((1 - threshold) * F.col("n_sh")).cast("int") + 1
             )
+            # a prefix shingle with df == 1 exists in exactly one doc:
+            # it cannot produce a candidate pair, so drop it from BOTH
+            # sides of the self-join (ranks were assigned on the full
+            # prefix first, so pruning here cannot promote a non-prefix
+            # shingle). On word-salad corpora most shingles are unique
+            # -- this removes the bulk of the inverted-index volume.
+            .filter(F.col("df") >= 2)
             .select("doc_id", "shingle")
         )
         a, b = ranked.alias("a"), ranked.alias("b")
