@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "ivf_ann_topk",
     "props_json_stats",
     "text_quality",
+    "training_data_filter",
     "lang_id_pred",
 ]
 

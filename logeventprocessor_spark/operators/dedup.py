@@ -286,6 +286,138 @@ def minhash_lsh_pairs(
     return _jaccard_verify(cand, sh, sizes, threshold, broadcast_pairs=True)
 
 
+def with_minhash_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Adds ``mh_buckets array<long>``: the doc's banded-MinHash bucket
+    ids, computed ENTIRELY with per-row column expressions (shingle
+    array -> k min-of-xxhash64 folds -> per-band hash). No shuffle, no
+    state, no Python -- so it composes into a STREAMING plan ahead of
+    a single keyed stateful operator (the aggregate-free formulation
+    is what makes streaming near-dup possible: a groupBy(doc) minhash
+    would be an unclosable stateful aggregation). The per-band minhash
+    values equal the batch ``minhash_signatures`` values for the same
+    (k, n) -- both take min(xxhash64(i, s)) over the doc's distinct
+    shingles -- though the bucket ids are band-salted here.
+
+    Cost note: higher-order fns are interpreted per element (~k * |S|
+    evals/row); fine for ingest-rate streams, and the batch path keeps
+    its one-shuffle agg formulation for bulk re-index jobs."""
+    assert k % bands == 0
+    rows = k // bands
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    sh = F.array_distinct(grams)
+    mins = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        for i in range(k)
+    ]
+    buckets = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[mins[b * rows + r] for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    return df.withColumn(
+        "mh_buckets",
+        F.when(F.size(toks) >= n, buckets).otherwise(
+            F.array().cast("array<long>")
+        ),
+    )
+
+
+NEARDUP_CAND_SCHEMA = "doc_id long, dup_of long, band int, ts timestamp"
+
+
+def stream_neardup_candidates(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    horizon_ms: int = 3_600_000,
+) -> DataFrame:
+    """STREAMING near-duplicate detection at ingest: emit a candidate
+    row (doc_id, dup_of, band) whenever a document's MinHash band
+    bucket was already claimed by an earlier document inside the state
+    horizon. State = one (first_doc_id, first_ts) per live (band,
+    bucket) key, evicted by event time -- bounded at ingest scale the
+    same way the cooldown operator is. Recall is the banded-MinHash
+    S-curve; precision is a CANDIDATE guarantee only: verify exact
+    Jaccard downstream (foreachBatch or the batch ``_jaccard_verify``)
+    before dropping data. A pair colliding in multiple bands emits one
+    row per band (a second streaming dedup would stack stateful ops;
+    consumers distinct() in the sink). Requires ``withWatermark``
+    upstream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    state_schema = T.StructType(
+        [
+            T.StructField("first_doc", T.LongType(), True),
+            T.StructField("first_ts_ns", T.LongType(), True),
+        ]
+    )
+    bb = with_minhash_buckets(stream, text_col, k, bands, n).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        F.posexplode("mh_buckets").alias("band", "bucket"),
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        band, _bucket = key
+        pdfs = [p for p in pdf_iter if not p.empty]
+        if not pdfs:
+            return
+        g = pd.concat(pdfs, ignore_index=True).sort_values(
+            ["ts", "doc_id"], kind="mergesort"
+        )
+        st = state.getOption
+        first_doc = st[0] if st is not None else None
+        first_ts = st[1] if st is not None else None
+        out = []
+        for row in g.itertuples(index=False):
+            ts_ns = int(pd.Timestamp(row.ts).value)
+            if first_doc is None:
+                first_doc, first_ts = int(row.doc_id), ts_ns
+            elif int(row.doc_id) != first_doc:
+                out.append(
+                    (int(row.doc_id), first_doc, int(band), pd.Timestamp(ts_ns))
+                )
+        state.update((int(first_doc), int(first_ts)))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(first_ts // 1_000_000 + horizon_ms, wm + 1000)
+        )
+        if out:
+            yield pd.DataFrame(
+                out, columns=["doc_id", "dup_of", "band", "ts"]
+            )
+
+    return bb.groupBy("band", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType=NEARDUP_CAND_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def _fan_out(df: DataFrame) -> DataFrame:
     """Rebalance BEFORE an explode: tokenization/shingling amplifies
     rows ~|tokens|x, so the pre-explode partition count bounds the

@@ -916,6 +916,34 @@ def _query_vec(spark, sf_dir) -> list[float]:
     return [float(x) for x in row["embedding"]]
 
 
+def q_training_data_filter(spark, sf_dir):
+    """The end-to-end training-data admission decision, per document:
+    exact-dedup (normalized md5, keep min doc_id) -> quality score ->
+    lang-ID -> repetition ratio, composed from the individual
+    operators, with the FIRST failing gate recorded as the drop
+    reason. One scan, no shuffle except the dedup window -- the shape
+    of a real corpus-filter job at 100 TB. Fully DuckDB-oracled."""
+    from pyspark.sql import Window
+
+    d = Tx.with_repetition_ratio(
+        Tx.with_lang_id(Tx.with_quality_score(Tx.with_fingerprint(
+            _docs(spark, sf_dir))))
+    )
+    w = Window.partitionBy("fp_md5").orderBy("doc_id")
+    d = d.withColumn("_rn", F.row_number().over(w))
+    reason = (
+        F.when(F.col("_rn") > 1, F.lit("dup"))
+        .when(F.col("quality_score") < 0.7, F.lit("quality"))
+        .when(F.col("lang_pred") == "und", F.lit("lang"))
+        .when(
+            F.col("rep_ratio").isNotNull() & (F.col("rep_ratio") > 0.2),
+            F.lit("repetition"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return d.select("doc_id", reason.alias("decision"))
+
+
 def q_embedding_cosine_query(spark, sf_dir):
     """Brute-force similarity search: all vectors with cosine >= 0.25
     to the vec_id=0 query (threshold form -- stable under ties)."""
@@ -1539,6 +1567,33 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# the training-data admission decision composes the individual text
+# oracles (already hash-verified) plus the dedup window, with the same
+# gate priority as the Spark query
+ORACLES["training_data_filter"] = f"""
+    WITH q AS ({ORACLES['text_quality']}),
+    l AS ({ORACLES['lang_id_pred']}),
+    r AS ({ORACLES['doc_repetition']}),
+    rn AS (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT rn.doc_id,
+           CASE WHEN rn.rn > 1 THEN 'dup'
+                WHEN q.quality_score < 0.7 THEN 'quality'
+                WHEN l.lang_pred = 'und' THEN 'lang'
+                WHEN r.rep_ratio IS NOT NULL AND r.rep_ratio > 0.2
+                  THEN 'repetition'
+                ELSE 'kept' END AS decision
+    FROM rn
+    JOIN q USING (doc_id)
+    JOIN l USING (doc_id)
+    LEFT JOIN r USING (doc_id)
+"""
+
 # the MinHash-LSH verify step is exact Jaccard, and the banding
 # geometry (k=32, b=8, r=4) has recall 1.0 on this corpus -- so the
 # pair set equals the inverted-index exact answer and shares its oracle
@@ -1588,6 +1643,7 @@ def build_queries() -> dict:
         "lang_id_pred": q_lang_id_pred,
         "doc_repetition": q_doc_repetition,
         "token_stats_by_lang": q_token_stats_by_lang,
+        "training_data_filter": q_training_data_filter,
         "embedding_cosine_query": q_embedding_cosine_query,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_brute_force_pairs": q_embedding_brute_force_pairs,

@@ -204,3 +204,63 @@ def test_union_second_source_and_empty_filter(spark, tmp_path):
     assert "hello_world_response" in fired  # from the turns stream
     assert "email_test" in fired  # from the response stream
     assert 1 not in set(got["turn_idx"])  # empty line never matched
+
+
+def test_stream_neardup_candidates(spark, tmp_path):
+    """Streaming near-dup detection at ingest: a doc whose MinHash band
+    bucket was claimed earlier emits a (doc_id, dup_of) candidate;
+    unrelated docs emit nothing; the batch exact-Jaccard truth confirms
+    every emitted candidate really is similar (verify-downstream
+    contract)."""
+    import os
+
+    from logeventprocessor_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        stream_neardup_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base, "2024-03-01 10:00:00"),
+        (1, "completely unrelated text about catalyst plan optimization rules", "2024-03-01 10:01:00"),
+        (2, base, "2024-03-01 10:02:00"),  # exact dup of 0 -> all bands collide
+        (3, base + " tonight", "2024-03-01 10:03:00"),  # near dup (J ~ 0.9)
+    ]
+    input_dir = str(tmp_path / "docs")
+    os.makedirs(input_dir)
+    pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "text": [r[1] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows]).astype("datetime64[us]"),
+        }
+    ).to_parquet(f"{input_dir}/a.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(input_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    cands = stream_neardup_candidates(stream, k=16, bands=8)
+    q = (
+        cands.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(200)
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    pairs = set(map(tuple, got[["doc_id", "dup_of"]].drop_duplicates().values))
+    assert (2, 0) in pairs  # exact dup caught
+    assert (3, 0) in pairs or (3, 2) in pairs  # near dup caught
+    assert all(d != 1 and o != 1 for d, o in pairs)  # unrelated never flagged
+    # every candidate is a true near-dup per the batch exact truth
+    docs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id long, text string"
+    )
+    truth = ngram_jaccard_pairs(docs, threshold=0.4).toPandas()
+    true_pairs = set(map(tuple, truth[["doc_a", "doc_b"]].values))
+    for d, o in pairs:
+        assert (min(d, o), max(d, o)) in true_pairs
