@@ -522,22 +522,24 @@ def _simhash_block_pairs(
         "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     )
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    # hamming-filter BEFORE distinct: the per-block join emits up to
+    # n_blocks copies of each pair, but the filter runs inside the
+    # join's codegen stage for free, so the distinct only shuffles the
+    # (tiny) qualifying pair set instead of the full candidate volume
+    # -- with many narrow blocks (n_blocks=7 -> 9-bit values) the
+    # candidate set is large and the order of these two ops dominates
+    return (
         a.join(b, ["blk", "val"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & (hamming <= max_hamming))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            hamming.alias("hamming"),
         )
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 
