@@ -965,14 +965,14 @@ def _aug_emb(spark, sf_dir):
 
 
 def q_embedding_neardup_pairs(spark, sf_dir):
-    """LSH-bucketed near-dup pairs (the scale path -- no cross join in
-    the plan); oracle is the brute-force SQL over the same fixture."""
-    return S.near_dup_pairs_banded(
-        _aug_emb(spark, sf_dir),
-        threshold=0.9,
-        bands=12,
-        rows_per_band=8,
-        dim=FX.embedding_dim(sf_dir),
+    """Near-dup pairs probing the PERSISTED LSH index (bucket column
+    materialized at ingest; the probe plan has no UDF and no bucket
+    recompute -- the scale path, no cross join); oracle is the
+    brute-force SQL over the same augmented fixture. The on-the-fly
+    variant (``near_dup_pairs_banded``) stays pytest-pinned as the
+    no-index path."""
+    return S.near_dup_pairs_from_index(
+        spark, FX.lsh_index_fixture(sf_dir), threshold=0.9
     )
 
 

@@ -246,6 +246,23 @@ def test_lsh_persisted_probe_no_udf(spark, vecs, tmp_path):
     assert 0 in got["vec_id"].tolist() and 1 in got["vec_id"].tolist()
 
 
+def test_neardup_pairs_from_index(spark, vecs, tmp_path):
+    """The persisted-index pair path returns the same pairs as the
+    on-the-fly banded path (same planes/geometry via the shared bucket
+    fn) and its plan contains no Python UDF."""
+    df, _ = vecs
+    path = str(tmp_path / "lshp")
+    S.lsh_build(df, path, bands=8, rows_per_band=4, dim=16)
+    idx = S.near_dup_pairs_from_index(spark, path, threshold=0.99)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    fly = S.near_dup_pairs_banded(
+        df, threshold=0.99, bands=8, rows_per_band=4, dim=16
+    ).toPandas()
+    key = lambda p: set(map(tuple, p[["vec_a", "vec_b"]].values))  # noqa: E731
+    assert key(idx.toPandas()) == key(fly) and len(fly) >= 1
+
+
 def test_index_fixtures_probe_equals_exact(spark):
     """The driver-side (numpy) index fixtures -- built with NO Spark
     job -- serve probes whose top-k equals the exact brute-force top-k
