@@ -53,11 +53,26 @@ def main():
     # "core" runs a JVM task thread AND a Python worker, so local[32]
     # oversubscribes -- reported anyway for transparency)
     pairs = [(4, 16), (8, 32)]
+    # INTERLEAVED schedule, each config sampled twice in different
+    # wall-clock windows (mirrored order), combined per config by
+    # best-of: this host drifts 20-30% across a 30-minute window
+    # (observed: two full runs 30% apart on every leg), and sequential
+    # legs let that drift masquerade as scaling (in)efficiency.
+    # Within a leg the worker already reports a warm median; best-of
+    # across windows estimates the machine's true capability at each
+    # parallelism, which is what the N vs 4N ratio is about.
+    schedule = [4, 16, 8, 32, 32, 8, 16, 4]
+    samples: dict[int, list[dict]] = {}
+    for c in schedule:
+        samples.setdefault(c, []).append(run_at(c, f"{tmp}/turns"))
     runs: dict[int, dict] = {}
-    for n, n4 in pairs:
-        for c in (n, n4):
-            if c not in runs:
-                runs[c] = run_at(c, f"{tmp}/turns")
+    for c, ss in samples.items():
+        best = dict(min(ss, key=lambda r: r["batch_s"]))
+        best["batch_s"] = min(r["batch_s"] for r in ss)
+        best["stream_s"] = min(r["stream_s"] for r in ss)
+        best["samples_batch_s"] = [r["batch_s"] for r in ss]
+        best["samples_stream_s"] = [r["stream_s"] for r in ss]
+        runs[c] = best
 
     result = {
         "n_turns": n_turns,
@@ -106,9 +121,13 @@ def main():
 Protocol (BASELINE.md): identical deterministic transcript stream
 (seed=42, {n_turns} turns, {result['n_actions']} match-output rows),
 identical rule set (canonical corpus incl. cooldown rule), same input
-parquet (128 files), run WARM (one warm-up execution, median of 3)
-at each parallelism level in separate JVMs — the sandbox proxy for
-N vs 4N executors.
+parquet (128 files), run WARM (one warm-up execution, then an
+in-JVM median) at each parallelism level in separate JVMs — the
+sandbox proxy for N vs 4N executors. Each config is sampled TWICE in
+an interleaved, mirrored schedule (4,16,8,32,32,8,16,4) and combined
+best-of, because this host drifts 20-30% across a 30-minute window
+and sequential legs would let that drift masquerade as scaling
+(in)efficiency; per-sample values are in the raw JSON.
 
 | config | batch pipeline | batch turns/s | streaming pipeline | stream turns/s |
 |---|---|---|---|---|
