@@ -103,6 +103,76 @@ def stream_cooldown(matches: DataFrame, rules: list[Rule]) -> DataFrame:
     )
 
 
+def stream_cooldown_tws(matches: DataFrame, rules: list[Rule]) -> DataFrame:
+    """T1 on the Spark 4 arbitrary-state API
+    (``transformWithStateInPandas`` + ``StatefulProcessor``): same
+    semantics as ``stream_cooldown`` (shares ``suppress_group``), but
+    state is a typed ValueState with an EXPLICIT event-time timer for
+    eviction instead of the applyInPandasWithState timeout -- the API
+    Spark is converging on for custom stateful operators (timers,
+    typed value/list/map state, TTL, state schema evolution).
+    REQUIRES the RocksDB state store provider (a transformWithState
+    constraint) AND the ``protobuf`` package (the API's state protocol
+    is protobuf-based; this sandbox container lacks it, so the parity
+    test skips here and the operator is exercised on protobuf-equipped
+    clusters -- recorded like the absent Iceberg jar). Kept alongside
+    the applyInPandasWithState form with a pytest parity pin so the
+    two can never diverge."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    cooldowns = {r.rule_id: r.cooldown_ms for r in rules if r.cooldown_ms > 0}
+    if not cooldowns:
+        return matches
+
+    class CooldownProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState(
+                "last_fire", "last_fire_ns long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            conv_id, rule_id = key
+            cd = cooldowns[rule_id]
+            pdfs = [p for p in rows if not p.empty]
+            if not pdfs:
+                return
+            g = pd.concat(pdfs, ignore_index=True).sort_values(
+                ["ts", "turn_idx"], kind="mergesort"
+            )
+            prior = self.state.get()
+            last_ns = prior[0] if prior is not None else None
+            kept, new_last = suppress_group(g, cd, last_fire_ns=last_ns)
+            if new_last is not None:
+                self.state.update((int(new_last),))
+                # explicit event-time timer: fire once the watermark
+                # passes last_fire + cooldown, then drop the state
+                wm = timerValues.getCurrentWatermarkInMs()
+                self.handle.registerTimer(
+                    max(new_last // 1_000_000 + cd + 1000, wm + 1000)
+                )
+            if len(kept):
+                yield kept
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self.state.clear()
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    hot = matches.filter(F.col("rule_id").isin(list(cooldowns.keys())))
+    return hot.groupBy("conv_id", "rule_id").transformWithStateInPandas(
+        CooldownProcessor(),
+        outputStructType=MATCHES_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 SEQUENCE_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
@@ -362,8 +432,13 @@ def build_match_stream(
     rules: list[Rule],
     watermark: str = "10 minutes",
     late_cutoff=None,
+    cooldown_impl=None,
 ) -> DataFrame:
-    """source stream -> rendered action rows (unsunk)."""
+    """source stream -> rendered action rows (unsunk).
+    ``cooldown_impl`` selects the keyed-state backend:
+    ``stream_cooldown`` (applyInPandasWithState, default) or
+    ``stream_cooldown_tws`` (Spark 4 transformWithStateInPandas,
+    requires RocksDB)."""
     if late_cutoff is not None:
         stream = stream.filter(F.col("ts") >= F.lit(late_cutoff))
     # the DAG forks per branch and each branch re-executes its lineage
@@ -381,7 +456,7 @@ def build_match_stream(
         # input: mapInPandas produces a fresh event-time column, so
         # the marker is (re)declared on the matches stream
         mh = match_turns(stream, hot_rules).withWatermark("ts", watermark)
-        parts.append(stream_cooldown(mh, hot_rules))
+        parts.append((cooldown_impl or stream_cooldown)(mh, hot_rules))
     m = parts[0]
     for p in parts[1:]:
         m = m.unionByName(p)
