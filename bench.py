@@ -1,7 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]. The LAST stdout line is the compact summary:
 {"metric": ..., "value": seconds, "unit": "sec", "queries": {...},
- "sf": ..., "throughput": {...}, "spread": {...}}
+ "sf": ..., "throughput": {...}}
+The per-query run spread is emitted on its own EARLIER stdout line
+({"kind": "bench_spread", ...}) and mirrored to BENCH/spread_last.json
+-- keeping the summary line short enough for the driver's tail capture
+(round-3 verdict: the combined line was truncated to parsed:null).
 
 Headline set = the operators that dominate a 100 TB run: the CEP match
 pipeline (batch + streaming forms) on a deterministically generated
@@ -167,6 +171,19 @@ def main():
 
     total = round(time.time() - t_total, 3)
     value = round(sum(timings.values()), 3)
+    # spread (per-query run lists) goes on its OWN earlier line + a side
+    # file: round-3 verdict "what's wrong #1" -- folding it into the
+    # summary line outgrew the driver's tail capture and left
+    # BENCH_r03.json with parsed:null. The LAST stdout line must be the
+    # compact machine-readable summary, nothing else after it.
+    spread_doc = {"kind": "bench_spread", "sf": _SF, "spread": spread}
+    print(json.dumps(spread_doc))
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/spread_last.json", "w") as f:
+            json.dump(spread_doc, f, indent=1)
+    except OSError:
+        pass  # read-only cwd: the stdout line above still has the data
     print(
         json.dumps(
             {
@@ -180,7 +197,6 @@ def main():
                 "runs_per_query": N_QUERY_RUNS,
                 "runs_per_pipeline": N_PIPE_RUNS,
                 "loop_wall": total,
-                "spread": spread,
             }
         )
     )
