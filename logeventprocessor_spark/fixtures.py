@@ -278,6 +278,12 @@ def ivf_index_fixture(sf_dir: str, n_lists: int = 8, seed: int = 42) -> str:
     if os.path.exists(os.path.join(path, "centers.json")):
         return path
     if os.path.isdir(path):  # half-built leftover from a crash
+        # re-check the completeness marker right before deleting: a
+        # concurrent builder may have atomically renamed a finished
+        # index into place between the first check and here, and
+        # rmtree'ing it would crash a reader that already trusts it
+        if os.path.exists(os.path.join(path, "centers.json")):
+            return path
         shutil.rmtree(path, ignore_errors=True)
     ids, vecs = _read_aug(sf_dir)
     centers, assign = _kmeans_numpy(vecs, n_lists, seed)
@@ -328,6 +334,10 @@ def lsh_index_fixture(
     if os.path.exists(os.path.join(path, "meta.json")):
         return path
     if os.path.isdir(path):
+        # same lost-race re-check as ivf_index_fixture: never delete a
+        # directory that carries the completeness marker
+        if os.path.exists(os.path.join(path, "meta.json")):
+            return path
         shutil.rmtree(path, ignore_errors=True)
     from logeventprocessor_spark.operators.similarity import (
         _hyperplanes,
@@ -361,6 +371,38 @@ def lsh_index_fixture(
     return path
 
 
+def simhash_sig_path(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(_dir(tag), f"simhash_sigs_{_V}.parquet")
+
+
+def simhash_sig_fixture(sf_dir: str) -> str:
+    """(doc_id, simhash) for every document at this sf, computed by the
+    INDEPENDENT pure-Python XXH64+SimHash in ``oracle.py`` (not the
+    Spark operator it oracles). DuckDB brute-scans these signatures --
+    ``bit_count(xor(a, b)) <= d`` over all pairs -- giving the
+    xxhash-SimHash near-dup operator a full value oracle even though
+    DuckDB has no xxhash64. Parity of the two implementations is pinned
+    token-by-token and signature-by-signature in tests/test_datapipe.py."""
+    path = simhash_sig_path(sf_dir)
+    if os.path.exists(path):
+        return path
+    from logeventprocessor_spark.oracle import oracle_simhash64
+
+    pdf = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    sigs = [oracle_simhash64(t) for t in pdf["text"]]
+    table = pa.table(
+        {
+            "doc_id": pa.array(pdf["doc_id"], type=pa.int64()),
+            "simhash": pa.array(sigs, type=pa.int64()),
+        }
+    )
+    _atomic_write_table(table, path)
+    return path
+
+
 def ensure_oracle_fixtures() -> None:
     """Write every fixture the STATIC oracle SQL strings reference, so
     the driver can run the oracles regardless of call order. The
@@ -373,3 +415,4 @@ def ensure_oracle_fixtures() -> None:
         augmented_embeddings_path(ORACLE_SF_DIR)
         ivf_index_fixture(ORACLE_SF_DIR)
         lsh_index_fixture(ORACLE_SF_DIR)
+        simhash_sig_fixture(ORACLE_SF_DIR)

@@ -181,3 +181,103 @@ def oracle_sequence_pairs(
         out, columns=["conv_id", "a_turn_idx", "b_turn_idx", "a_ts", "b_ts"]
     )
     return pdf.sort_values(["conv_id", "b_turn_idx"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------
+# pure-Python XXH64 + SimHash: an INDEPENDENT implementation of the
+# 64-bit signature path so the xxhash-SimHash near-dup operator gets a
+# value-level oracle (DuckDB has no xxhash64; instead the oracle brute-
+# scans signatures computed HERE, sharing no code with the Spark side).
+# XXH64 follows the public xxHash spec (github.com/Cyan4973/xxHash,
+# BSD-2); Spark's ``xxhash64`` is the same algorithm with seed 42.
+# --------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, word: int) -> int:
+    return (_rotl((acc + word * _P2) & _M64, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 per the public spec; returns Spark's SIGNED long."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = (((h ^ _round(0, v)) * _P1) + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h = (
+            _rotl(h ^ _round(0, int.from_bytes(data[i : i + 8], "little")), 27)
+            * _P1
+            + _P4
+        ) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = (
+            _rotl(h ^ ((int.from_bytes(data[i : i + 4], "little") * _P1) & _M64), 23)
+            * _P2
+            + _P3
+        ) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")  # Java regex \s (ASCII-only)
+
+
+def oracle_tokens(text: str) -> list[str]:
+    """Replicates the Spark side's ``split(lower(trim(text)), '\\s+')``
+    exactly (pinned empirically in tests/test_datapipe.py): Spark trim
+    strips ONLY the space char 0x20 (tabs/newlines survive), Java
+    ``\\s`` is ASCII-only (unlike Python's Unicode ``\\s``, so NBSP is
+    not a separator), and split keeps leading AND trailing empty tokens
+    (Java limit=-1 semantics, which ``re.split`` shares)."""
+    return _JAVA_WS.split(text.strip(" ").lower())
+
+
+def oracle_simhash64(text: str) -> int:
+    """64-bit xxhash SimHash of one document -- the independent twin of
+    ``operators.dedup.simhash`` (same tokenization, same per-bit
+    majority vote, token hash = XXH64(utf8, seed=42))."""
+    counts = [0] * 64
+    for tok in oracle_tokens(text):
+        h = xxh64(tok.encode("utf-8")) & _M64
+        for b in range(64):
+            counts[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(64):
+        if counts[b] > 0:
+            sig |= 1 << b
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
