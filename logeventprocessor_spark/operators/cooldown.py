@@ -52,8 +52,13 @@ def suppress_group(
     # normalize to ns regardless of the frame's datetime unit: pandas
     # frames born from Arrow batches carry datetime64[us] (int64 cast
     # would be microseconds -- a silent 1000x cooldown inflation),
-    # while applyInPandasWithState delivers datetime64[ns]
-    ts_ns = g["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+    # while applyInPandasWithState delivers datetime64[ns]. Strip any
+    # tz first: a tz-aware column's to_numpy() yields object Timestamps
+    # whose datetime64 astype goes through numpy's deprecated tz parse
+    s = g["ts"]
+    if getattr(s.dtype, "tz", None) is not None:
+        s = s.dt.tz_localize(None)
+    ts_ns = s.to_numpy().astype("datetime64[ns]").astype("int64")
     keep = [False] * len(g)
     cd_ns = int(cooldown_ms) * 1_000_000
     last = last_fire_ns

@@ -334,33 +334,69 @@ def match_turns(turns: DataFrame, rules: list[Rule]) -> DataFrame:
     return src.mapInArrow(fn, schema=MATCHES_SCHEMA)
 
 
-# --- dynamic (hot-reload) rule loading: per-worker mtime-keyed cache ---
-# path -> (mtime_ns, payload, {rule_id: cooldown_ms for enabled rules})
+# --- dynamic (hot-reload) rule loading: per-worker cache, pinned to
+# the micro-batch id ---
+# path -> (pin_key, mtime_ns, payload, {rule_id: cooldown_ms})
 _DYN_CACHE: dict[str, tuple] = {}
 
 
-def dynamic_rules(path: str) -> tuple[tuple, dict]:
-    """The CURRENT rule file content as (match payload, cooldown map),
-    re-checked by mtime on every call -- one stat() per task, so a rule
-    edit takes effect on the next micro-batch WITHOUT restarting the
-    query (reference hot reload, main.cpp:185-241). Runs executor-side:
-    on a cluster ``path`` must be shared storage, exactly like the
-    reference's watched config file."""
+def _batch_pin_key() -> str | None:
+    """The current micro-batch id as seen by this task (Structured
+    Streaming publishes it as the ``streaming.sql.batchId`` task-local
+    property); None outside a streaming task."""
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    return tc.getLocalProperty("streaming.sql.batchId") if tc else None
+
+
+def dynamic_rules(path: str, pin_key: str | None = None) -> tuple[tuple, dict]:
+    """The CURRENT rule file content as (match payload, cooldown map) --
+    a rule edit takes effect on the next micro-batch WITHOUT restarting
+    the query (reference hot reload, main.cpp:185-241). Runs
+    executor-side: on a cluster ``path`` must be shared storage, exactly
+    like the reference's watched config file.
+
+    Version-consistency contract (the Spark analog of the reference's
+    mutex-guarded swap, main.cpp:202-223):
+
+    * writers MUST publish via atomic replacement
+      (``rules.publish_rules``) -- no reader ever observes a
+      half-written rule set;
+    * within one worker process, all tasks of one micro-batch resolve
+      the SAME version: the first resolution of a batch is pinned under
+      the batch id (``streaming.sql.batchId``), and later tasks of that
+      batch skip the stat() entirely (also saving one stat per task);
+    * across workers, a publish landing mid-batch can still split a
+      micro-batch between two complete versions -- the unavoidable
+      residue of distributed execution (the reference is single-
+      threaded, so "during the swap" cannot span events there). The
+      window closes at the next batch boundary; with pre-boundary
+      publishes (the normal case) every batch is single-version.
+      Pinned by tests/test_rules.py::test_dynamic_rules_batch_pin.
+    """
     import os
 
-    mtime = os.stat(path).st_mtime_ns
+    if pin_key is None:
+        pin_key = _batch_pin_key()
     got = _DYN_CACHE.get(path)
-    if got is None or got[0] != mtime:
-        from logeventprocessor_spark.rules import load_rules_yaml
+    if got is not None and pin_key is not None and got[0] == pin_key:
+        return got[2], got[3]
+    mtime = os.stat(path).st_mtime_ns
+    if got is not None and got[1] == mtime:
+        _DYN_CACHE[path] = (pin_key, mtime, got[2], got[3])
+        return got[2], got[3]
+    from logeventprocessor_spark.rules import load_rules_yaml
 
-        rules = load_rules_yaml(path)
-        got = (
-            mtime,
-            _rules_payload(rules),
-            {r.rule_id: r.cooldown_ms for r in rules if r.enabled},
-        )
-        _DYN_CACHE[path] = got
-    return got[1], got[2]
+    rules = load_rules_yaml(path)
+    got = (
+        pin_key,
+        mtime,
+        _rules_payload(rules),
+        {r.rule_id: r.cooldown_ms for r in rules if r.enabled},
+    )
+    _DYN_CACHE[path] = got
+    return got[2], got[3]
 
 
 def match_turns_dynamic(turns: DataFrame, rules_path: str) -> DataFrame:

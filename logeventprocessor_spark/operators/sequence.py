@@ -22,6 +22,47 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def sequence_detect_all(
+    matches: DataFrame, rule_a: str, rule_b: str, within_ms: int
+) -> DataFrame:
+    """EVERY-A-pairs semantics (round-3 verdict task #8): each B-fire
+    pairs with EVERY preceding A-fire within ``within_ms`` -- the other
+    CEP contract real users ask for next to ``sequence_detect``'s
+    "latest qualifying A". Same tie rule: at identical (ts, turn_idx)
+    the A counts as preceding.
+
+    Batch realization is a time-bounded equi-join on conv_id (the
+    interval-join shape): one shuffle per side, the time bound prunes
+    inside the join's codegen stage. The per-key output is inherently
+    |A|x|B| for clustered fires -- at 100 TB the bound keeps the fan-out
+    proportional to the true answer, not the key size."""
+    evts = (
+        matches.filter(F.col("rule_id").isin(rule_a, rule_b))
+        .select("conv_id", "turn_idx", "rule_id", "ts")
+        .distinct()
+    )
+    a = evts.filter(F.col("rule_id") == rule_a).select(
+        "conv_id",
+        F.col("turn_idx").alias("a_turn_idx"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = evts.filter(F.col("rule_id") == rule_b).select(
+        "conv_id",
+        F.col("turn_idx").alias("b_turn_idx"),
+        F.col("ts").alias("b_ts"),
+    )
+    gap = F.col("b_ts").cast("timestamp").cast("double") - F.col(
+        "a_ts"
+    ).cast("timestamp").cast("double")
+    precedes = (F.col("a_ts") < F.col("b_ts")) | (
+        (F.col("a_ts") == F.col("b_ts"))
+        & (F.col("a_turn_idx") <= F.col("b_turn_idx"))
+    )
+    return a.join(b, "conv_id").filter(
+        precedes & (gap <= within_ms / 1000.0)
+    ).select("conv_id", "a_turn_idx", "b_turn_idx", "a_ts", "b_ts")
+
+
 def sequence_detect(
     matches: DataFrame, rule_a: str, rule_b: str, within_ms: int
 ) -> DataFrame:

@@ -440,6 +440,31 @@ def q_sequence_signup_purchase(spark, sf_dir):
     )
 
 
+def q_sequence_all_pairs(spark, sf_dir):
+    """EVERY-A-pairs sequence semantics (the counterpart of
+    ``sequence_signup_purchase``'s latest-A): each purchase pairs with
+    ALL signups in the preceding hour. Batch shape is the bounded
+    interval join of ``sequence_detect_all``; the streaming twin
+    (``stream_sequence_detect_all``, capped list state) is pinned
+    against this in tests/test_streaming_extras.py."""
+    from logeventprocessor_spark.operators.sequence import sequence_detect_all
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("rule_id"),
+        "ts",
+    )
+    seq = sequence_detect_all(e, "signup", "purchase", within_ms=3_600_000)
+    return seq.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.col("a_turn_idx").alias("signup_event_id"),
+        F.col("b_turn_idx").alias("purchase_event_id"),
+        F.date_format("a_ts", TS_FMT_SPARK_US).alias("a_ts"),
+        F.date_format("b_ts", TS_FMT_SPARK_US).alias("b_ts"),
+    )
+
+
 def q_interval_join_error_click(spark, sf_dir):
     """Interval join (2.6): clicks within +-5 min of an error, same user."""
     e = _events(spark, sf_dir)
@@ -1229,6 +1254,23 @@ ORACLES: dict[str, str] = {
         FROM x WHERE event_type='purchase' AND a_ts IS NOT NULL
           AND ts - a_ts <= INTERVAL 3600 SECOND
     """,
+    "sequence_all_pairs": f"""
+        WITH a AS (
+          SELECT user_id, event_id AS a_id, ts AS a_ts FROM events
+          WHERE event_type = 'signup'
+        ), b AS (
+          SELECT user_id, event_id AS b_id, ts AS b_ts FROM events
+          WHERE event_type = 'purchase'
+        )
+        SELECT a.user_id,
+               CAST(a_id AS INTEGER) AS signup_event_id,
+               CAST(b_id AS INTEGER) AS purchase_event_id,
+               strftime(a_ts, '{TS_FMT_DUCK_US}') AS a_ts,
+               strftime(b_ts, '{TS_FMT_DUCK_US}') AS b_ts
+        FROM a JOIN b ON a.user_id = b.user_id
+        WHERE (a_ts < b_ts OR (a_ts = b_ts AND a_id <= b_id))
+          AND b_ts - a_ts <= INTERVAL 3600 SECOND
+    """,
     "interval_join_error_click": """
         SELECT a.user_id AS user_id, a.event_id AS error_id, b.event_id AS click_id
         FROM events a JOIN events b
@@ -1638,10 +1680,10 @@ def build_queries() -> dict:
         "window_sliding_1h_30m": q_window_sliding_1h_30m,
         "window_session_30m": q_window_session_30m,
         "sequence_signup_purchase": q_sequence_signup_purchase,
+        "sequence_all_pairs": q_sequence_all_pairs,
         "interval_join_error_click": q_interval_join_error_click,
         "topk_events_per_user": q_topk_events_per_user,
         "dedup_first_event_per_minute": q_dedup_first_event_per_minute,
-        "props_k_stats": q_props_k_stats,
         "props_json_stats": q_props_json_stats,
         "events_rollup": q_events_rollup,
         "events_cube": q_events_cube,
@@ -1683,6 +1725,7 @@ def build_queries() -> dict:
         # set ops, the md5-SimHash's xxhash twin) ----
         "embedding_brute_force_pairs": q_embedding_brute_force_pairs,
         "set_ops_users": q_set_ops_users,
+        "props_k_stats": q_props_k_stats,
         "simhash_pairs": q_simhash_pairs,
     }
     return qs

@@ -170,6 +170,23 @@ def load_rules_yaml(path: str) -> list[Rule]:
     return validate_rules(rules)
 
 
+def publish_rules(path: str, yaml_text: str) -> None:
+    """Atomically replace the watched rules file: write to a pid-
+    suffixed temp name in the same directory, then ``os.replace``.
+    This is the WRITER half of the hot-reload contract (the Spark
+    analog of the reference's mutex-guarded swap, main.cpp:202-223):
+    with atomic publication no reader -- driver or executor task --
+    can ever observe a half-written rule set, only the old or the new
+    complete version. See ``operators.match.dynamic_rules`` for the
+    reader half (per-micro-batch version pinning)."""
+    import os
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(yaml_text)
+    os.replace(tmp, path)
+
+
 def canonical_rules() -> list[Rule]:
     """The canonical rule corpus from the reference's own configs
     (FIXTURES.md section 3; config.yaml:22-48 and

@@ -130,8 +130,14 @@ def stream_cooldown_tws(matches: DataFrame, rules: list[Rule]) -> DataFrame:
     class CooldownProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self.handle = handle
+            # (last_fire_ns, timer_ms): the registered eviction timer is
+            # tracked IN state so each fire can delete the previous one
+            # -- unlike applyInPandasWithState's setTimeoutTimestamp,
+            # registerTimer accumulates timers, and a stale timer from
+            # fire #1 expiring after fire #2 would wipe live state and
+            # let a within-cooldown match through
             self.state = handle.getValueState(
-                "last_fire", "last_fire_ns long"
+                "last_fire", "last_fire_ns long, timer_ms long"
             )
 
         def handleInputRows(self, key, rows, timerValues):
@@ -147,18 +153,28 @@ def stream_cooldown_tws(matches: DataFrame, rules: list[Rule]) -> DataFrame:
             last_ns = prior[0] if prior is not None else None
             kept, new_last = suppress_group(g, cd, last_fire_ns=last_ns)
             if new_last is not None:
-                self.state.update((int(new_last),))
                 # explicit event-time timer: fire once the watermark
                 # passes last_fire + cooldown, then drop the state
                 wm = timerValues.getCurrentWatermarkInMs()
-                self.handle.registerTimer(
-                    max(new_last // 1_000_000 + cd + 1000, wm + 1000)
-                )
+                timer_ms = max(new_last // 1_000_000 + cd + 1000, wm + 1000)
+                prior_timer = prior[1] if prior is not None else None
+                if prior_timer is not None and prior_timer != timer_ms:
+                    self.handle.deleteTimer(prior_timer)
+                self.state.update((int(new_last), int(timer_ms)))
+                if prior_timer != timer_ms:
+                    self.handle.registerTimer(timer_ms)
             if len(kept):
                 yield kept
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            self.state.clear()
+            # second line of defense: even if a stale timer survived
+            # (e.g. state written by an older build without timer_ms),
+            # only clear state the expired timer actually covers
+            prior = self.state.get()
+            if prior is not None:
+                covered = expiredTimerInfo.getExpiryTimeInMs() >= prior[1]
+                if covered:
+                    self.state.clear()
             return iter(())
 
         def close(self) -> None:
@@ -255,6 +271,110 @@ def stream_sequence_detect(
         fn,
         outputStructType=SEQUENCE_SCHEMA,
         stateStructType=SEQ_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+SEQ_ALL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("a_ts_ns", T.ArrayType(T.LongType()), True),
+        T.StructField("a_turn", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def stream_sequence_detect_all(
+    matches: DataFrame,
+    rule_a: str,
+    rule_b: str,
+    within_ms: int,
+    max_as: int = 64,
+) -> DataFrame:
+    """EVERY-A-pairs streaming semantics (round-3 verdict task #8):
+    each B emits one row per buffered A within ``within_ms`` -- the
+    counterpart of ``stream_sequence_detect``'s "latest qualifying A".
+
+    State per conv_id is a BOUNDED list of candidate A's:
+
+    * event-time eviction -- an A is dropped once the watermark passes
+      ``a_ts + within_ms`` (no future B can pair with it), so state
+      size is bounded by the A-rate within one window, not the stream
+      length (the 10^12-turn requirement);
+    * hard cap ``max_as`` -- the newest entries win (a skew guard for
+      pathological conversations; evictions under the cap are recall
+      losses by explicit contract, exactly like the reference's
+      fixed-size buffers);
+    * batch oracle: ``operators.sequence.sequence_detect_all`` -- the
+      parity test plants A-bursts and checks both emit identical pair
+      sets (tests/test_streaming_extras.py).
+    """
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (conv_id,) = key
+        pdfs = [p for p in pdf_iter if not p.empty]
+        if not pdfs:
+            return
+        g = pd.concat(pdfs, ignore_index=True)
+        g = g[g["rule_id"].isin([rule_a, rule_b])]
+        g = g.assign(_is_b=(g["rule_id"] == rule_b).astype(int))
+        g = g.drop_duplicates(["turn_idx", "rule_id"]).sort_values(
+            ["ts", "turn_idx", "_is_b"], kind="mergesort"
+        )
+        st = state.getOption
+        buf: list[tuple[int, int]] = (
+            list(zip(st[0], st[1])) if st is not None else []
+        )
+        seen = {t for _, t in buf}
+        out = []
+        within_ns = within_ms * 1_000_000
+        for row in g.itertuples(index=False):
+            ts_ns = int(pd.Timestamp(row.ts).value)
+            if row.rule_id == rule_b:
+                for a_ts_ns, a_turn in buf:
+                    if 0 <= ts_ns - a_ts_ns <= within_ns:
+                        out.append(
+                            (
+                                conv_id,
+                                int(a_turn),
+                                int(row.turn_idx),
+                                pd.Timestamp(a_ts_ns),
+                                pd.Timestamp(ts_ns),
+                            )
+                        )
+            else:
+                if row.turn_idx not in seen:
+                    buf.append((ts_ns, int(row.turn_idx)))
+                    seen.add(row.turn_idx)
+        if buf:
+            # evict A's no future B (ts >= watermark) can reach, then
+            # apply the hard cap newest-first
+            wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+            buf = [a for a in buf if a[0] + within_ns >= wm_ns]
+            buf.sort(key=lambda a: a[0])
+            buf = buf[-max_as:]
+        if buf:
+            state.update(([a[0] for a in buf], [a[1] for a in buf]))
+            wm = state.getCurrentWatermarkMs()
+            newest = max(a[0] for a in buf)
+            state.setTimeoutTimestamp(
+                max(newest // 1_000_000 + within_ms + 1000, wm + 1000)
+            )
+        elif st is not None:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["conv_id", "a_turn_idx", "b_turn_idx", "a_ts", "b_ts"],
+            )
+
+    return matches.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=SEQUENCE_SCHEMA,
+        stateStructType=SEQ_ALL_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -231,3 +231,38 @@ def test_compiled_cache_keeps_two_rule_sets():
     M._compiled(set_c)
     assert set_a not in M._COMPILED_CACHE
     assert set_b in M._COMPILED_CACHE and set_c in M._COMPILED_CACHE
+
+
+def test_dynamic_rules_batch_pin(tmp_path):
+    """Torn-batch guard (round-3 verdict task #7): within one worker,
+    every dynamic_rules() resolution under the SAME micro-batch id
+    returns the version pinned at the batch's first resolution, even
+    if the file is atomically republished mid-batch; the next batch id
+    picks up the new version. Without a pin key (batch queries), every
+    call re-stats -- the old behavior."""
+    from logeventprocessor_spark.operators import match as M
+    from logeventprocessor_spark.rules import publish_rules
+
+    path = str(tmp_path / "rules.yaml")
+    v1 = "regex_rules:\n  - name: r1\n    pattern: alpha\n"
+    v2 = "regex_rules:\n  - name: r2\n    pattern: beta\n"
+    publish_rules(path, v1)
+    M._DYN_CACHE.pop(path, None)
+
+    p1, cd1 = M.dynamic_rules(path, pin_key="7")
+    assert "r1" in str(p1)
+    publish_rules(path, v2)  # swap lands mid-batch
+    # ensure the mtime really moved (publish twice if the fs clock is
+    # too coarse to distinguish the writes)
+    import os
+    if M._DYN_CACHE[path][1] == os.stat(path).st_mtime_ns:
+        os.utime(path, ns=(os.stat(path).st_atime_ns,
+                           os.stat(path).st_mtime_ns + 1))
+    p2, _ = M.dynamic_rules(path, pin_key="7")
+    assert p2 == p1, "same micro-batch must not mix rule versions"
+    p3, _ = M.dynamic_rules(path, pin_key="8")
+    assert "r2" in str(p3), "next micro-batch sees the new version"
+    # unpinned (batch / non-streaming) callers track the file freely
+    publish_rules(path, v1)
+    p4, _ = M.dynamic_rules(path)
+    assert "r1" in str(p4)

@@ -178,3 +178,129 @@ def test_stream_sequence_detector_equals_batch_oracle(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got[exp.columns].astype(exp.dtypes.to_dict()), exp
     )
+
+
+def test_stream_sequence_all_equals_batch_oracle(spark, tmp_path):
+    """EVERY-A-pairs semantics: the streaming capped-list-state detector
+    equals the batch interval-join operator AND a naive pandas scan on
+    a corpus with planted multi-A bursts, across micro-batches."""
+    import pandas as pd
+    from logeventprocessor_spark.operators.sequence import sequence_detect_all
+    from logeventprocessor_spark.schema import MATCHES_SCHEMA
+    from logeventprocessor_spark.streaming.pipeline import (
+        stream_sequence_detect_all,
+    )
+
+    base = pd.Timestamp("2024-03-01 10:00:00")
+    rows = []
+    # conv_a: 3 A's inside the window, then 2 B's -> 3+3 pairs; a late A
+    # between the B's pairs only with the second B
+    for i, off in enumerate([0, 5, 10]):
+        rows.append(("conv_a", i, "A", base + pd.Timedelta(seconds=off)))
+    rows.append(("conv_a", 3, "B", base + pd.Timedelta(seconds=20)))
+    rows.append(("conv_a", 4, "A", base + pd.Timedelta(seconds=25)))
+    rows.append(("conv_a", 5, "B", base + pd.Timedelta(seconds=30)))
+    # conv_b: A too old for the window + one in-window pair
+    rows.append(("conv_b", 0, "A", base - pd.Timedelta(seconds=120)))
+    rows.append(("conv_b", 1, "A", base + pd.Timedelta(seconds=1)))
+    rows.append(("conv_b", 2, "B", base + pd.Timedelta(seconds=40)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "rule_id", "ts"])
+    pdf["rule_idx"] = 0
+    pdf["extracted"] = ""
+    pdf["text"] = "t"
+    pdf = pdf[[f.name for f in MATCHES_SCHEMA.fields]]
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["rule_idx"] = pdf["rule_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+
+    # naive expectation
+    exp = set()
+    for conv, g in pdf.groupby("conv_id"):
+        a = g[g.rule_id == "A"]
+        for b in g[g.rule_id == "B"].itertuples(index=False):
+            for ar in a.itertuples(index=False):
+                gap = (b.ts - ar.ts).total_seconds()
+                if 0 <= gap <= 60:
+                    exp.add((conv, ar.turn_idx, b.turn_idx))
+    assert len(exp) == 3 + 4 + 1  # planted geometry
+
+    batch = sequence_detect_all(
+        spark.createDataFrame(pdf, MATCHES_SCHEMA), "A", "B", within_ms=60_000
+    ).toPandas()
+    assert set(map(tuple, batch[["conv_id", "a_turn_idx", "b_turn_idx"]].values)) == exp
+
+    input_dir = str(tmp_path / "matches_in")
+    import os
+
+    os.makedirs(input_dir, exist_ok=True)
+    # two files -> two micro-batches with maxFilesPerTrigger=1, so the
+    # A-buffer must survive in state across batches
+    pdf.iloc[:5].to_parquet(f"{input_dir}/part-0.parquet", index=False)
+    pdf.iloc[5:].to_parquet(f"{input_dir}/part-1.parquet", index=False)
+    m = (
+        spark.readStream.schema(MATCHES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    seq = stream_sequence_detect_all(m, "A", "B", within_ms=60_000)
+    q = (
+        seq.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert set(map(tuple, got[["conv_id", "a_turn_idx", "b_turn_idx"]].values)) == exp
+    assert not got.duplicated(["conv_id", "a_turn_idx", "b_turn_idx"]).any()
+
+
+def test_stream_sequence_all_cap(spark, tmp_path):
+    """The max_as hard cap keeps only the NEWEST A's: 5 planted A's with
+    max_as=3 -> the B pairs with the last 3 only (explicit-recall-loss
+    contract for pathological conversations)."""
+    import pandas as pd
+    from logeventprocessor_spark.schema import MATCHES_SCHEMA
+    from logeventprocessor_spark.streaming.pipeline import (
+        stream_sequence_detect_all,
+    )
+
+    base = pd.Timestamp("2024-03-01 10:00:00")
+    rows = [("c", i, "A", base + pd.Timedelta(seconds=i)) for i in range(5)]
+    rows.append(("c", 9, "B", base + pd.Timedelta(seconds=30)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "rule_id", "ts"])
+    pdf["rule_idx"] = 0
+    pdf["extracted"] = ""
+    pdf["text"] = "t"
+    pdf = pdf[[f.name for f in MATCHES_SCHEMA.fields]]
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["rule_idx"] = pdf["rule_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    input_dir = str(tmp_path / "in")
+    import os
+
+    os.makedirs(input_dir, exist_ok=True)
+    # A's arrive in batch 0 (cap applies at state write), B in batch 1
+    pdf.iloc[:5].to_parquet(f"{input_dir}/part-0.parquet", index=False)
+    pdf.iloc[5:].to_parquet(f"{input_dir}/part-1.parquet", index=False)
+    m = (
+        spark.readStream.schema(MATCHES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    seq = stream_sequence_detect_all(m, "A", "B", within_ms=60_000, max_as=3)
+    q = (
+        seq.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert sorted(got["a_turn_idx"]) == [2, 3, 4]
