@@ -70,7 +70,10 @@ def suppress_group(
 
 
 def apply_cooldown(
-    matches: DataFrame, rules: list[Rule], num_partitions: int | None = None
+    matches: DataFrame,
+    rules: list[Rule],
+    num_partitions: int | None = None,
+    prior: DataFrame | None = None,
 ) -> DataFrame:
     """matches (MATCHES_SCHEMA) -> matches with cooldown-suppressed
     fires removed. No-op (no shuffle at all) when no rule has a
@@ -82,10 +85,35 @@ def apply_cooldown(
     the keyed greedy scan. Converting every match row to pandas was the
     dominant cost of this operator once match went Arrow-native
     (profiled: cooldown 3.5 s of the 3.9 s batch pipeline at local[16],
-    5M turns)."""
+    5M turns).
+
+    ``prior``: optional (conv_id, rule_id, prior_ns) frame seeding each
+    key's greedy scan with its last fire from an earlier batch -- the
+    cross-batch half of the snapshot-state streaming backend
+    (streaming/batch_state.py). Joined BEFORE the repartition so the
+    seed rides the same shuffle; nulls become -1 JVM-side (a ns value
+    must never pass through a nullable float, 2^63-scale ints lose
+    precision there)."""
     cooldowns = {r.rule_id: r.cooldown_ms for r in rules if r.cooldown_ms > 0}
     if not cooldowns:
         return matches
+
+    from pyspark.sql import functions as F
+
+    has_prior = prior is not None
+    if has_prior:
+        cols = matches.columns
+        # the USING-join moves its keys to the front; restore the
+        # original order -- mapInArrow matches output batches to the
+        # declared schema BY POSITION, so a reordered frame would have
+        # Spark reading rule_id bytes as turn_idx ints
+        matches = (
+            matches.join(prior, ["conv_id", "rule_id"], "left")
+            .withColumn(
+                "prior_ns", F.coalesce(F.col("prior_ns"), F.lit(-1)).cast("long")
+            )
+            .select(*cols, "prior_ns")
+        )
 
     rep = (
         matches.repartition(num_partitions, "conv_id", "rule_id")
@@ -104,16 +132,21 @@ def apply_cooldown(
         carry: pd.DataFrame | None = None
 
         def scan(pdf: pd.DataFrame) -> pa.RecordBatch | None:
-            kept = [
-                suppress_group(g, cooldowns[rule_id])[0]
-                for (_, rule_id), g in pdf.groupby(
-                    ["conv_id", "rule_id"], sort=False
+            kept = []
+            for (_, rule_id), g in pdf.groupby(["conv_id", "rule_id"], sort=False):
+                seed = None
+                if has_prior:
+                    p = int(g["prior_ns"].iloc[0])
+                    seed = p if p >= 0 else None
+                kept.append(
+                    suppress_group(g, cooldowns[rule_id], last_fire_ns=seed)[0]
                 )
-            ]
             kept = [k for k in kept if len(k)]
             if not kept:
                 return None
             out = pd.concat(kept, ignore_index=True)
+            if has_prior:
+                out = out.drop(columns=["prior_ns"])
             return pa.RecordBatch.from_pandas(
                 out, schema=schema, preserve_index=False
             )
@@ -123,10 +156,14 @@ def apply_cooldown(
                 continue
             if schema is None:
                 schema = rb.schema
+                if has_prior:
+                    schema = schema.remove(schema.get_field_index("prior_ns"))
             rule_col = rb.column(rb.schema.get_field_index("rule_id"))
             hot_mask = pc.is_in(rule_col, value_set=hot_set)
             cold = rb.filter(pc.invert(hot_mask))
             if cold.num_rows:
+                if has_prior:
+                    cold = cold.select([f.name for f in schema])
                 yield cold  # zero-copy pass-through, no Python objects
             hot = rb.filter(hot_mask)
             if hot.num_rows == 0:

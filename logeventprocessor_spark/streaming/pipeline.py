@@ -595,6 +595,7 @@ def start_pipeline(
     max_files_per_trigger: int | None = 1,
     ack_types: list[str] | None = None,
     state_store: str | None = None,
+    cooldown_backend: str = "snapshot",
 ):
     """Wire the full query and start it. Returns (query, sink).
 
@@ -607,6 +608,19 @@ def start_pipeline(
     10^12-turn backend -- HDFS-backed in-memory state cannot hold one
     entry per active (conv_id, rule_id)). Session-level conf; keep it
     constant for the lifetime of a checkpoint.
+
+    ``cooldown_backend`` selects the T1 keyed-state realization (pinned
+    identical by tests/test_streaming.py::test_backends_agree):
+
+    * ``'snapshot'`` (default, the throughput path): ONE match pass
+      over all rules in the DAG, cooldown as a seeded batch
+      ``mapInArrow`` inside ``foreachBatch`` with per-batch-id parquet
+      state snapshots (streaming/batch_state.py). Measured
+      (scripts/stream_floor.py): applyInPandasWithState costs ~3-4 s
+      FIXED per trigger at 32 partitions even with zero rows; this
+      backend removes that floor and the hot/cold double source scan.
+    * ``'state'``: the store-native form -- hot/cold rule split with
+      ``applyInPandasWithState`` eviction timers (build_match_stream).
     """
     if state_store == "rocksdb":
         spark.conf.set(
@@ -615,23 +629,67 @@ def start_pipeline(
             "RocksDBStateStoreProvider",
         )
     stream = read_transcripts_stream(spark, input_dir, max_files_per_trigger)
-    actions = build_match_stream(stream, rules, watermark, late_cutoff)
     sink = ParquetUpsertSink(out_dir)
 
-    if ack_types:
+    if cooldown_backend == "snapshot":
+        import os as _os
+
+        from logeventprocessor_spark.streaming.batch_state import (
+            CooldownSnapshotState,
+            delay_to_ms,
+        )
+
+        if late_cutoff is not None:
+            stream = stream.filter(F.col("ts") >= F.lit(late_cutoff))
+        enabled = [r for r in rules if r.enabled]
+        matched = match_turns(stream, enabled)
+        cool = CooldownSnapshotState(
+            spark,
+            _os.path.join(out_dir, "cooldown_state"),
+            rules,
+            delay_to_ms(watermark),
+        )
+
         def process(df: DataFrame, batch_id: int) -> None:
             df = df.persist()
             try:
-                sink.write(df, batch_id)
-                acks = df.filter(F.col("action_type").isin(ack_types)).select(
-                    "conv_id", "turn_idx", "rule_id", "step_idx",
-                    F.lit("ack").alias("status"), "ts",
-                )
-                sink.write_table("acks", acks, batch_id)
+                gated = cool.gate(df, batch_id).persist()
+                try:
+                    sink.write(expand_steps(gated, rules), batch_id)
+                    if ack_types:
+                        acks = expand_steps(gated, rules).filter(
+                            F.col("action_type").isin(ack_types)
+                        ).select(
+                            "conv_id", "turn_idx", "rule_id", "step_idx",
+                            F.lit("ack").alias("status"), "ts",
+                        )
+                        sink.write_table("acks", acks, batch_id)
+                    cool.advance(gated, df, batch_id)
+                finally:
+                    gated.unpersist()
             finally:
                 df.unpersist()
+
+        actions = matched
     else:
-        process = sink.foreach_batch()
+        actions = build_match_stream(stream, rules, watermark, late_cutoff)
+
+        if ack_types:
+            def process(df: DataFrame, batch_id: int) -> None:
+                df = df.persist()
+                try:
+                    sink.write(df, batch_id)
+                    acks = df.filter(
+                        F.col("action_type").isin(ack_types)
+                    ).select(
+                        "conv_id", "turn_idx", "rule_id", "step_idx",
+                        F.lit("ack").alias("status"), "ts",
+                    )
+                    sink.write_table("acks", acks, batch_id)
+                finally:
+                    df.unpersist()
+        else:
+            process = sink.foreach_batch()
 
     writer = (
         actions.writeStream.foreachBatch(process)

@@ -304,3 +304,22 @@ def test_stream_sequence_all_cap(spark, tmp_path):
     q.awaitTermination(300)
     got = spark.read.parquet(str(tmp_path / "out")).toPandas()
     assert sorted(got["a_turn_idx"]) == [2, 3, 4]
+
+
+def test_cooldown_backends_agree(spark, fixture_dirs, tmp_path):
+    """The snapshot backend (foreachBatch-managed parquet state, the
+    throughput path) and the state-store backend (applyInPandasWithState)
+    must produce the identical logical table across multi-batch runs --
+    T1 semantics cannot depend on the state implementation."""
+    pdf, input_dir, _ = fixture_dirs
+    rules = canonical_rules()
+    outs = {}
+    for backend in ("snapshot", "state"):
+        out = str(tmp_path / f"out_{backend}")
+        q, sink = start_pipeline(
+            spark, input_dir, rules, out, str(tmp_path / f"ckpt_{backend}"),
+            cooldown_backend=backend,
+        )
+        q.awaitTermination(300)
+        outs[backend] = _norm(sink.read(spark).toPandas())
+    pd.testing.assert_frame_equal(outs["snapshot"], outs["state"])

@@ -373,6 +373,9 @@ def test_rocksdb_state_store_parity(stream_input, tmp_path):
             out_dir=str(tmp_path / "out"),
             checkpoint_dir=str(tmp_path / "ckpt"),
             state_store="rocksdb",
+            # the store provider only matters for the DAG-stateful
+            # backend; the snapshot backend keeps no store state
+            cooldown_backend="state",
         )
         q.awaitTermination(300)
         got = (
@@ -449,7 +452,12 @@ def test_transform_with_state_cooldown_parity(stream_input, tmp_path):
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithState state protocol needs protobuf "
-               "(not installed in this container)",
+               "(not installed in this container). Install attempt "
+               "recorded 2026-08-17: no python protobuf anywhere on "
+               "the image (only JVM-side shaded jars, unusable by the "
+               "Python StatefulProcessor protocol) and the sandbox "
+               "policy forbids pip/apt installs -- same standing as "
+               "the absent Iceberg runtime jar.",
     )
     from logeventprocessor_spark.oracle import oracle_matches
     from logeventprocessor_spark.rules import canonical_rules
