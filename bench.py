@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "window_sliding_1h_30m",
     "window_session_30m",
     "sequence_signup_purchase",
+    "sequence_all_pairs",
     "interval_join_error_click",
     "asof_purchase_view",
     "topk_events_per_user",

@@ -156,22 +156,31 @@ class CooldownSnapshotState:
         return apply_cooldown(matches, self.rules, prior=pri)
 
     def advance(
-        self, gated: DataFrame, all_matches: DataFrame, batch_id: int
+        self, gated: DataFrame, batch_id: int, max_ts=None
     ) -> None:
         """Commit snapshot N = prior keys max-merged with this batch's
         kept fires, evicted at the advanced watermark. ``gated`` should
-        be persisted by the caller (it also feeds the sink write)."""
+        be persisted by the caller (it also feeds the sink write).
+
+        ``max_ts``: the batch's max event time, ideally harvested for
+        free from the sink-write job via ``Observation`` (see
+        ``start_pipeline``) -- passing None falls back to an extra agg
+        job over ``gated``. Using gated (not raw) matches for the
+        watermark is sound: a suppressed fire's later ts would only
+        advance the watermark by < cooldown, and a SMALLER watermark is
+        always conservative (delays eviction, never wrong results)."""
         if not self.cooldowns:
             return
         import pandas as pd
 
         prior_df, prior_wm = self.prior(batch_id)
-        mx = all_matches.agg(F.max("ts")).collect()[0][0]
+        if max_ts is None:
+            max_ts = gated.agg(F.max("ts")).collect()[0][0]
         wm_ns = prior_wm
-        if mx is not None:
+        if max_ts is not None:
             wm_ns = max(
                 prior_wm,
-                int(pd.Timestamp(mx).value) - self.delay_ms * 1_000_000,
+                int(pd.Timestamp(max_ts).value) - self.delay_ms * 1_000_000,
             )
         # greedy invariant: the last KEPT fire of a key IS its last fire
         fires = (

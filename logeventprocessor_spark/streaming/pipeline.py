@@ -651,24 +651,33 @@ def start_pipeline(
         )
 
         def process(df: DataFrame, batch_id: int) -> None:
-            df = df.persist()
+            # ONE cache (the gated matches) and TWO jobs per batch:
+            # (1) sink write -- which also populates the cache and
+            # computes the watermark's max event time for free via
+            # Observation; (2) the fires agg + snapshot write. A
+            # previous shape (cache raw matches AND gated, separate
+            # max-ts job) measured ~3.7 s of fixed per-batch work that
+            # capped streaming scaling (BENCH/BASELINE.md).
+            from pyspark.sql import Observation
+
+            gated = cool.gate(df, batch_id).persist()
             try:
-                gated = cool.gate(df, batch_id).persist()
-                try:
-                    sink.write(expand_steps(gated, rules), batch_id)
-                    if ack_types:
-                        acks = expand_steps(gated, rules).filter(
-                            F.col("action_type").isin(ack_types)
-                        ).select(
-                            "conv_id", "turn_idx", "rule_id", "step_idx",
-                            F.lit("ack").alias("status"), "ts",
-                        )
-                        sink.write_table("acks", acks, batch_id)
-                    cool.advance(gated, df, batch_id)
-                finally:
-                    gated.unpersist()
+                obs = Observation(f"wm_{batch_id}")
+                out = expand_steps(
+                    gated.observe(obs, F.max("ts").alias("max_ts")), rules
+                )
+                sink.write(out, batch_id)
+                if ack_types:
+                    acks = expand_steps(gated, rules).filter(
+                        F.col("action_type").isin(ack_types)
+                    ).select(
+                        "conv_id", "turn_idx", "rule_id", "step_idx",
+                        F.lit("ack").alias("status"), "ts",
+                    )
+                    sink.write_table("acks", acks, batch_id)
+                cool.advance(gated, batch_id, max_ts=obs.get["max_ts"])
             finally:
-                df.unpersist()
+                gated.unpersist()
 
         actions = matched
     else:

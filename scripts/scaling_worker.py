@@ -85,10 +85,26 @@ def main():
     stream_tps = stream_steady("timed")
     stream_s = n_turns / stream_tps if stream_tps else 0.0
 
+    # pure-JVM control leg (round-3 verdict task #5c): the same match
+    # as whole-stage-codegen RLIKE/regexp_extract with NO Python
+    # boundary -- its scaling curve quantifies how much of the
+    # pipeline's efficiency loss is the Arrow/Python crossing vs the
+    # host itself
+    from logeventprocessor_spark.operators.match import match_turns_sql
+
+    match_turns_sql(turns, rules).count()  # warm
+    times = []
+    for _ in range(2):  # best-of across mirrored legs absorbs noise
+        t0 = time.time()
+        match_turns_sql(turns, rules).count()
+        times.append(time.time() - t0)
+    jvm_s = min(times)
+
     print(json.dumps({
         "cpus": cpus,
         "batch_s": round(batch_s, 3),
         "stream_s": round(stream_s, 3),
+        "jvm_match_s": round(jvm_s, 3),
         "n_turns": n_turns,
         "n_actions": n_actions,
         "n_input_splits": n_splits,

@@ -323,3 +323,61 @@ def test_cooldown_backends_agree(spark, fixture_dirs, tmp_path):
         q.awaitTermination(300)
         outs[backend] = _norm(sink.read(spark).toPandas())
     pd.testing.assert_frame_equal(outs["snapshot"], outs["state"])
+
+
+def test_snapshot_state_replay_identical(spark, tmp_path):
+    """Crash-replay contract of the snapshot cooldown state: re-running
+    batch N (after a crash between output write and checkpoint commit)
+    reads only committed snapshots < N, so it recomputes the IDENTICAL
+    gated rows and snapshot -- exactly-once end to end."""
+    import pandas as pd
+    from logeventprocessor_spark.schema import MATCHES_SCHEMA
+    from logeventprocessor_spark.streaming.batch_state import (
+        CooldownSnapshotState,
+    )
+
+    rules = [r for r in canonical_rules() if r.rule_id == "spam_guard"]
+    assert rules and rules[0].cooldown_ms > 0
+    base = pd.Timestamp("2024-03-01 10:00:00")
+
+    def matches(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "ts"]
+        ).assign(rule_id="spam_guard", rule_idx=0, extracted="", text="spam ping")
+        pdf = pdf[[f.name for f in MATCHES_SCHEMA.fields]]
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["rule_idx"] = pdf["rule_idx"].astype("int32")
+        return spark.createDataFrame(pdf, MATCHES_SCHEMA)
+
+    cool = CooldownSnapshotState(
+        spark, str(tmp_path / "state"), rules, watermark_delay_ms=600_000
+    )
+    cd_s = rules[0].cooldown_ms / 1000.0
+
+    # batch 0: two fires inside one cooldown window -> second suppressed
+    b0 = matches([("c", 1, base), ("c", 2, base + pd.Timedelta(seconds=cd_s / 2))])
+    g0 = cool.gate(b0, 0).persist()
+    assert sorted(g0.toPandas()["turn_idx"]) == [1]
+    cool.advance(g0, 0)
+    g0.unpersist()
+
+    # batch 1: one fire still inside batch-0's window -> suppressed
+    b1 = matches([("c", 3, base + pd.Timedelta(seconds=cd_s * 0.75))])
+    g1 = cool.gate(b1, 1).persist()
+    first = sorted(g1.toPandas()["turn_idx"])
+    cool.advance(g1, 1)
+    g1.unpersist()
+    assert first == []
+
+    # REPLAY batch 1 (the snapshot written by the crashed attempt at 1
+    # must be ignored): identical result, identical snapshot
+    g1r = cool.gate(b1, 1).persist()
+    assert sorted(g1r.toPandas()["turn_idx"]) == first
+    cool.advance(g1r, 1)
+    g1r.unpersist()
+
+    # batch 2 past the window -> fires again, seeded by the replayed
+    # (not doubled) state
+    b2 = matches([("c", 4, base + pd.Timedelta(seconds=cd_s + 1))])
+    g2 = cool.gate(b2, 2)
+    assert sorted(g2.toPandas()["turn_idx"]) == [4]
