@@ -334,10 +334,18 @@ def match_turns(turns: DataFrame, rules: list[Rule]) -> DataFrame:
     return src.mapInArrow(fn, schema=MATCHES_SCHEMA)
 
 
-# --- dynamic (hot-reload) rule loading: per-worker cache, pinned to
-# the micro-batch id ---
-# path -> (pin_key, mtime_ns, payload, {rule_id: cooldown_ms})
-_DYN_CACHE: dict[str, tuple] = {}
+# --- dynamic (hot-reload) rule loading: per-worker two-level cache ---
+# (path, pin_key) -> mtime_ns: WHICH version each micro-batch pinned.
+# Keyed by pin so a second streaming query or an unpinned batch caller
+# on the same path can never clobber another batch's pin (a single
+# shared slot would reopen the mid-batch version-mix window).
+_PIN_CACHE: dict[tuple, int] = {}
+# (path, mtime_ns) -> (payload, cooldowns): compiled content per
+# version; a few generations kept so an in-flight batch's pin stays
+# resolvable after a newer version loads.
+_CONTENT_CACHE: dict[tuple, tuple] = {}
+_CONTENT_KEEP = 4
+_PIN_KEEP = 8
 
 
 def _batch_pin_key() -> str | None:
@@ -379,24 +387,34 @@ def dynamic_rules(path: str, pin_key: str | None = None) -> tuple[tuple, dict]:
 
     if pin_key is None:
         pin_key = _batch_pin_key()
-    got = _DYN_CACHE.get(path)
-    if got is not None and pin_key is not None and got[0] == pin_key:
-        return got[2], got[3]
+    if pin_key is not None:
+        m = _PIN_CACHE.get((path, pin_key))
+        if m is not None:
+            got = _CONTENT_CACHE.get((path, m))
+            if got is not None:
+                return got
     mtime = os.stat(path).st_mtime_ns
-    if got is not None and got[1] == mtime:
-        _DYN_CACHE[path] = (pin_key, mtime, got[2], got[3])
-        return got[2], got[3]
-    from logeventprocessor_spark.rules import load_rules_yaml
+    got = _CONTENT_CACHE.get((path, mtime))
+    if got is None:
+        from logeventprocessor_spark.rules import load_rules_yaml
 
-    rules = load_rules_yaml(path)
-    got = (
-        pin_key,
-        mtime,
-        _rules_payload(rules),
-        {r.rule_id: r.cooldown_ms for r in rules if r.enabled},
-    )
-    _DYN_CACHE[path] = got
-    return got[2], got[3]
+        rules = load_rules_yaml(path)
+        got = (
+            _rules_payload(rules),
+            {r.rule_id: r.cooldown_ms for r in rules if r.enabled},
+        )
+        _CONTENT_CACHE[(path, mtime)] = got
+        stale = sorted(
+            (k for k in _CONTENT_CACHE if k[0] == path), key=lambda k: k[1]
+        )[:-_CONTENT_KEEP]
+        for k in stale:
+            del _CONTENT_CACHE[k]
+    if pin_key is not None:
+        _PIN_CACHE[(path, pin_key)] = mtime
+        pins = [k for k in _PIN_CACHE if k[0] == path]
+        for k in pins[:-_PIN_KEEP]:  # dict order = insertion = oldest first
+            del _PIN_CACHE[k]
+    return got
 
 
 def match_turns_dynamic(turns: DataFrame, rules_path: str) -> DataFrame:

@@ -51,15 +51,18 @@ def sequence_detect_all(
         F.col("turn_idx").alias("b_turn_idx"),
         F.col("ts").alias("b_ts"),
     )
-    gap = F.col("b_ts").cast("timestamp").cast("double") - F.col(
-        "a_ts"
-    ).cast("timestamp").cast("double")
+    # gap as EXACT integer microseconds (never a double subtraction of
+    # epoch-scale casts: ~2.4e-7 s float resolution can flip a pair
+    # landing exactly on the bound against the oracle's INTERVAL math)
+    gap_us = F.unix_micros(F.col("b_ts").cast("timestamp")) - F.unix_micros(
+        F.col("a_ts").cast("timestamp")
+    )
     precedes = (F.col("a_ts") < F.col("b_ts")) | (
         (F.col("a_ts") == F.col("b_ts"))
         & (F.col("a_turn_idx") <= F.col("b_turn_idx"))
     )
     return a.join(b, "conv_id").filter(
-        precedes & (gap <= within_ms / 1000.0)
+        precedes & (gap_us <= within_ms * 1000)
     ).select("conv_id", "a_turn_idx", "b_turn_idx", "a_ts", "b_ts")
 
 
@@ -91,14 +94,16 @@ def sequence_detect(
         .filter(
             (F.col("is_b") == 1)
             & F.col("a_ts").isNotNull()
-            # cast through TIMESTAMP first: parquet NTZ timestamps
-            # cannot cast straight to double
+            # exact integer-microsecond gap; cast through TIMESTAMP
+            # first (parquet NTZ timestamps cannot feed unix_micros
+            # directly), never a double subtraction of epoch-scale
+            # casts whose ~2.4e-7 s resolution flips boundary pairs
             & (
                 (
-                    F.col("ts").cast("timestamp").cast("double")
-                    - F.col("a_ts").cast("timestamp").cast("double")
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("a_ts").cast("timestamp"))
                 )
-                <= within_ms / 1000.0
+                <= within_ms * 1000
             )
         )
         .select(

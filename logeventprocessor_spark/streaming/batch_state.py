@@ -100,6 +100,12 @@ class CooldownSnapshotState:
         }
         self.delay_ms = watermark_delay_ms
         self.retention = retention
+        # per-batch memo of (batch_id, prior_df, prior_wm_ns): gate()
+        # and advance() both need the prior snapshot, and within one
+        # batch they are guaranteed to resolve the same one -- reading
+        # it twice (listdir + meta + parquet scan) per trigger was pure
+        # per-batch latency
+        self._memo: tuple | None = None
         os.makedirs(state_dir, exist_ok=True)
 
     # -- snapshot bookkeeping -----------------------------------------
@@ -137,14 +143,36 @@ class CooldownSnapshotState:
         )
         return df, wm_ns
 
+    def _prior_cached(self, batch_id: int) -> tuple[DataFrame | None, int]:
+        if self._memo is not None and self._memo[0] == batch_id:
+            return self._memo[1], self._memo[2]
+        df, wm = self.prior(batch_id)
+        self._memo = (batch_id, df, wm)
+        return df, wm
+
     # -- the operator --------------------------------------------------
     def gate(self, matches: DataFrame, batch_id: int) -> DataFrame:
         """Cooldown-suppress this batch's matches, seeded by the prior
         snapshot. Zero-cooldown rules never touch the scan (the same
-        hot/cold Arrow split as the batch pipeline)."""
+        hot/cold Arrow split as the batch pipeline).
+
+        Late-data contract (parity with the store backend, where Spark
+        drops rows older than the watermark before the stateful op):
+        HOT-rule matches with ts < the snapshot watermark are dropped
+        here; cold-rule rows are never late-filtered in either backend
+        (they bypass state entirely). The snapshot watermark can lag
+        the store backend's by < cooldown (it derives from KEPT fires),
+        which is conservative -- it only ever drops a subset."""
         if not self.cooldowns:
             return matches
-        prior_df, _ = self.prior(batch_id)
+        prior_df, wm_ns = self._prior_cached(batch_id)
+        hot_ids = list(self.cooldowns)
+        if wm_ns > 0:
+            matches = matches.filter(
+                (~F.col("rule_id").isin(hot_ids))
+                | (F.unix_micros(F.col("ts")) * F.lit(1000).cast("long")
+                   >= F.lit(int(wm_ns)))
+            )
         pri = (
             prior_df.select(
                 "conv_id", "rule_id",
@@ -173,7 +201,7 @@ class CooldownSnapshotState:
             return
         import pandas as pd
 
-        prior_df, prior_wm = self.prior(batch_id)
+        prior_df, prior_wm = self._prior_cached(batch_id)
         if max_ts is None:
             max_ts = gated.agg(F.max("ts")).collect()[0][0]
         wm_ns = prior_wm

@@ -157,7 +157,11 @@ def stream_cooldown_tws(matches: DataFrame, rules: list[Rule]) -> DataFrame:
                 # passes last_fire + cooldown, then drop the state
                 wm = timerValues.getCurrentWatermarkInMs()
                 timer_ms = max(new_last // 1_000_000 + cd + 1000, wm + 1000)
-                prior_timer = prior[1] if prior is not None else None
+                # len guard: state persisted by a build predating the
+                # timer_ms field is a 1-tuple
+                prior_timer = (
+                    prior[1] if prior is not None and len(prior) > 1 else None
+                )
                 if prior_timer is not None and prior_timer != timer_ms:
                     self.handle.deleteTimer(prior_timer)
                 self.state.update((int(new_last), int(timer_ms)))
@@ -169,10 +173,14 @@ def stream_cooldown_tws(matches: DataFrame, rules: list[Rule]) -> DataFrame:
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             # second line of defense: even if a stale timer survived
             # (e.g. state written by an older build without timer_ms),
-            # only clear state the expired timer actually covers
+            # only clear state the expired timer actually covers;
+            # old-format 1-tuple state is treated as always-covered
             prior = self.state.get()
             if prior is not None:
-                covered = expiredTimerInfo.getExpiryTimeInMs() >= prior[1]
+                covered = (
+                    len(prior) < 2
+                    or expiredTimerInfo.getExpiryTimeInMs() >= prior[1]
+                )
                 if covered:
                     self.state.clear()
             return iter(())
@@ -335,7 +343,13 @@ def stream_sequence_detect_all(
             ts_ns = int(pd.Timestamp(row.ts).value)
             if row.rule_id == rule_b:
                 for a_ts_ns, a_turn in buf:
-                    if 0 <= ts_ns - a_ts_ns <= within_ns:
+                    # the equal-ts tie rule of the batch operator: an A
+                    # at the same timestamp precedes B only when
+                    # a_turn <= b_turn (matters for a cross-batch A
+                    # that arrived before this B but sorts after it)
+                    if (0 <= ts_ns - a_ts_ns <= within_ns) and not (
+                        ts_ns == a_ts_ns and a_turn > row.turn_idx
+                    ):
                         out.append(
                             (
                                 conv_id,
@@ -610,7 +624,7 @@ def start_pipeline(
     constant for the lifetime of a checkpoint.
 
     ``cooldown_backend`` selects the T1 keyed-state realization (pinned
-    identical by tests/test_streaming.py::test_backends_agree):
+    identical by tests/test_streaming.py::test_cooldown_backends_agree):
 
     * ``'snapshot'`` (default, the throughput path): ONE match pass
       over all rules in the DAG, cooldown as a seeded batch
@@ -663,12 +677,19 @@ def start_pipeline(
             gated = cool.gate(df, batch_id).persist()
             try:
                 obs = Observation(f"wm_{batch_id}")
+                # watermark source = HOT-rule event time only, matching
+                # the store backend (its withWatermark sits on the hot
+                # match stream; cold rows must not advance eviction)
+                hot_ids = list(cool.cooldowns)
+                wm_src = F.when(
+                    F.col("rule_id").isin(hot_ids), F.col("ts")
+                )
                 out = expand_steps(
-                    gated.observe(obs, F.max("ts").alias("max_ts")), rules
+                    gated.observe(obs, F.max(wm_src).alias("max_ts")), rules
                 )
                 sink.write(out, batch_id)
                 if ack_types:
-                    acks = expand_steps(gated, rules).filter(
+                    acks = out.filter(
                         F.col("action_type").isin(ack_types)
                     ).select(
                         "conv_id", "turn_idx", "rule_id", "step_idx",

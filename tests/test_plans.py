@@ -109,7 +109,7 @@ def test_aqe_skew_join_split(spark):
 
 
 def test_every_query_has_oracle_or_documented_exception():
-    """Every registered query is DuckDB-oracled -- 53/53. The last
+    """Every registered query is DuckDB-oracled -- 54/54. The last
     rows-only holdout (simhash_pairs: xxhash64 has no DuckDB builtin)
     gained a value oracle in round 4 via signatures computed by the
     independent pure-Python XXH64 (oracle.py -> signature fixture)."""

@@ -243,26 +243,41 @@ def test_dynamic_rules_batch_pin(tmp_path):
     from logeventprocessor_spark.operators import match as M
     from logeventprocessor_spark.rules import publish_rules
 
+    import os
+
     path = str(tmp_path / "rules.yaml")
     v1 = "regex_rules:\n  - name: r1\n    pattern: alpha\n"
     v2 = "regex_rules:\n  - name: r2\n    pattern: beta\n"
+
+    def bump_mtime(prev_ns):
+        # fs clocks can be too coarse to distinguish the writes
+        if os.stat(path).st_mtime_ns == prev_ns:
+            os.utime(path, ns=(os.stat(path).st_atime_ns, prev_ns + 1))
+
     publish_rules(path, v1)
-    M._DYN_CACHE.pop(path, None)
+    for k in [k for k in M._PIN_CACHE if k[0] == path]:
+        del M._PIN_CACHE[k]
+    for k in [k for k in M._CONTENT_CACHE if k[0] == path]:
+        del M._CONTENT_CACHE[k]
 
     p1, cd1 = M.dynamic_rules(path, pin_key="7")
     assert "r1" in str(p1)
+    m1 = os.stat(path).st_mtime_ns
     publish_rules(path, v2)  # swap lands mid-batch
-    # ensure the mtime really moved (publish twice if the fs clock is
-    # too coarse to distinguish the writes)
-    import os
-    if M._DYN_CACHE[path][1] == os.stat(path).st_mtime_ns:
-        os.utime(path, ns=(os.stat(path).st_atime_ns,
-                           os.stat(path).st_mtime_ns + 1))
+    bump_mtime(m1)
     p2, _ = M.dynamic_rules(path, pin_key="7")
     assert p2 == p1, "same micro-batch must not mix rule versions"
+    # an UNPINNED caller (or another query's batch) resolving between
+    # two pinned calls must not clobber batch 7's pin
+    M.dynamic_rules(path)
+    M.dynamic_rules(path, pin_key="3")
+    p2b, _ = M.dynamic_rules(path, pin_key="7")
+    assert p2b == p1, "a concurrent caller clobbered the batch pin"
     p3, _ = M.dynamic_rules(path, pin_key="8")
     assert "r2" in str(p3), "next micro-batch sees the new version"
     # unpinned (batch / non-streaming) callers track the file freely
+    m2 = os.stat(path).st_mtime_ns
     publish_rules(path, v1)
+    bump_mtime(m2)
     p4, _ = M.dynamic_rules(path)
     assert "r1" in str(p4)

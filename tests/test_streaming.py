@@ -381,3 +381,57 @@ def test_snapshot_state_replay_identical(spark, tmp_path):
     b2 = matches([("c", 4, base + pd.Timedelta(seconds=cd_s + 1))])
     g2 = cool.gate(b2, 2)
     assert sorted(g2.toPandas()["turn_idx"]) == [4]
+
+
+def test_cooldown_backends_agree_on_late_data(spark, tmp_path):
+    """Late-data parity (round-4 review finding): a hot-rule match
+    arriving AFTER the watermark passed its cooldown window must be
+    dropped by BOTH backends -- the store backend drops it before the
+    stateful op; the snapshot backend's gate() must replicate that,
+    else an evicted key lets a within-cooldown fire through."""
+    import os
+
+    from logeventprocessor_spark.schema import TRANSCRIPTS_SCHEMA
+
+    base = pd.Timestamp("2024-03-01 10:00:00")
+
+    def turns(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "text", "ts"]
+        ).assign(role="user", tool="")
+        pdf = pdf[[f.name for f in TRANSCRIPTS_SCHEMA.fields]]
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        return pdf
+
+    input_dir = str(tmp_path / "input")
+    os.makedirs(input_dir)
+    # batch 0: conv c fires spam_guard (cooldown 5 s) at T
+    f0 = turns([("c", 1, "spam ping one", base)])
+    # batch 1: conv d fires at T+30min -> watermark (1 min delay)
+    # reaches T+29min, far past c's cooldown window -> c evicted
+    f1 = turns([("d", 1, "spam ping two", base + pd.Timedelta(minutes=30))])
+    # batch 2: LATE fire for c at T+2s -- inside c's original cooldown
+    # window AND older than the watermark -> must be dropped, not fired
+    f2 = turns([("c", 2, "spam ping late", base + pd.Timedelta(seconds=2))])
+    for i, pdf in enumerate((f0, f1, f2)):
+        p = f"{input_dir}/part-{i}.parquet"
+        pdf.to_parquet(p, index=False)
+        os.utime(p, ns=(1_000_000_000_000_000_000 + i * 10**9,) * 2)
+
+    outs = {}
+    for backend in ("snapshot", "state"):
+        out = str(tmp_path / f"out_{backend}")
+        q, sink = start_pipeline(
+            spark, input_dir, canonical_rules(), out,
+            str(tmp_path / f"ckpt_{backend}"),
+            watermark="1 minute", max_files_per_trigger=1,
+            cooldown_backend=backend,
+        )
+        q.awaitTermination(300)
+        outs[backend] = _norm(sink.read(spark).toPandas())
+    # the late fire must be absent from BOTH outputs
+    for backend, got in outs.items():
+        c_turns = set(got[got["conv_id"] == "c"]["turn_idx"])
+        assert 2 not in c_turns, f"{backend} emitted the late fire"
+    pd.testing.assert_frame_equal(outs["snapshot"], outs["state"])
