@@ -549,15 +549,22 @@ def simhash_md5_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_blocks: int = 4,
+    compound: bool = False,
 ) -> DataFrame:
     """EXACT near-dup pairs (hamming <= max_hamming over the portable
     60-bit md5 SimHash). Defaults keep max_hamming < n_blocks so the
     block-candidate step is lossless -- the output is fully
-    DuckDB-oracle-able, pair for pair."""
+    DuckDB-oracle-able, pair for pair.
+
+    ``compound=True`` swaps the candidate step for the Manku
+    compound-key geometry (6 blocks, 3-block combo keys = 30 bits over
+    60 -- the 10^9-doc join-key cardinality); the pair set is identical
+    either way, only the candidate join changes."""
+    sig = simhash_md5(df, id_col, text_col)
+    if compound:
+        return _simhash_compound_pairs(sig, 60, 6, max_hamming)
     assert max_hamming < n_blocks, "exactness needs max_hamming < n_blocks"
-    return _simhash_block_pairs(
-        simhash_md5(df, id_col, text_col), 60, n_blocks, max_hamming
-    )
+    return _simhash_block_pairs(sig, 60, n_blocks, max_hamming)
 
 
 def simhash_pairs(

@@ -1070,9 +1070,10 @@ def q_simhash_pairs(spark, sf_dir):
 
 def q_simhash_md5_pairs(spark, sf_dir):
     """EXACT hamming<=3 pairs over the dialect-portable 60-bit md5
-    SimHash (max_hamming < n_blocks => lossless block candidates), so
+    SimHash, candidates via the Manku compound-key geometry (30-bit
+    join keys -- the same 10^9-doc-safe shape as ``simhash_pairs``);
     DuckDB recomputes the identical signature and pair set."""
-    return D.simhash_md5_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return D.simhash_md5_pairs(_docs(spark, sf_dir), max_hamming=3, compound=True)
 
 
 def q_lsh_ann_topk(spark, sf_dir):

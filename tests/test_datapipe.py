@@ -570,3 +570,14 @@ def test_ivf_topk(spark, vecs):
     part = S2.ivf_topk(df, q, k=5, n_lists=4, n_probe=1).toPandas()
     assert 0 in part["vec_id"].tolist()
     assert 1 in part["vec_id"].tolist()
+
+
+def test_simhash_md5_compound_same_pairs(spark, docs):
+    """The md5 variant's compound-key candidate step (the registered
+    geometry) yields the identical pair set as the single-block form --
+    both are exact; only the join shape differs."""
+    single = D.simhash_md5_pairs(docs, max_hamming=3).toPandas()
+    comp = D.simhash_md5_pairs(docs, max_hamming=3, compound=True).toPandas()
+    key = lambda df: {(r.doc_a, r.doc_b, r.hamming) for r in df.itertuples(index=False)}
+    assert key(single) == key(comp)
+    assert D.compound_key_bits(60, 6, 3) >= 30
