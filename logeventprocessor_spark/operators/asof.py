@@ -65,10 +65,15 @@ def asof_join(
     )
     out = carried.filter(F.col("_is_left") == 1)
     if tolerance_ms is not None:
+        # Integer microsecond difference -- double-precision epoch
+        # subtraction has ~2.4e-7 s resolution and can flip a pair
+        # landing EXACTLY on the tolerance boundary against the
+        # oracle's exact INTERVAL arithmetic (same fix as
+        # sequence.py's gap math).
         within = (
-            F.col("_ts").cast("timestamp").cast("double")
-            - F.col("_last_r_ts").cast("timestamp").cast("double")
-        ) <= tolerance_ms / 1000.0
+            F.unix_micros(F.col("_ts").cast("timestamp"))
+            - F.unix_micros(F.col("_last_r_ts").cast("timestamp"))
+        ) <= F.lit(tolerance_ms).cast("long") * F.lit(1000).cast("long")
         out = out.withColumn(
             "_last_r", F.when(within, F.col("_last_r"))
         ).withColumn("_last_r_ts", F.when(within, F.col("_last_r_ts")))

@@ -54,10 +54,15 @@ def suppress_group(
     # would be microseconds -- a silent 1000x cooldown inflation),
     # while applyInPandasWithState delivers datetime64[ns]. Strip any
     # tz first: a tz-aware column's to_numpy() yields object Timestamps
-    # whose datetime64 astype goes through numpy's deprecated tz parse
+    # whose datetime64 astype goes through numpy's deprecated tz parse.
+    # tz_convert("UTC") BEFORE dropping the tz keeps the ns values
+    # epoch-based whatever the session timezone -- the streaming
+    # backends seed prior_ns from JVM unix_micros (UTC epoch), and a
+    # bare tz_localize(None) on a non-UTC frame would skew every
+    # cross-batch cooldown seed by the tz offset.
     s = g["ts"]
     if getattr(s.dtype, "tz", None) is not None:
-        s = s.dt.tz_localize(None)
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
     ts_ns = s.to_numpy().astype("datetime64[ns]").astype("int64")
     keep = [False] * len(g)
     cd_ns = int(cooldown_ms) * 1_000_000

@@ -548,7 +548,7 @@ def simhash_md5_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
     compound: bool = False,
 ) -> DataFrame:
     """EXACT near-dup pairs (hamming <= max_hamming over the portable
@@ -557,12 +557,19 @@ def simhash_md5_pairs(
     DuckDB-oracle-able, pair for pair.
 
     ``compound=True`` swaps the candidate step for the Manku
-    compound-key geometry (6 blocks, 3-block combo keys = 30 bits over
-    60 -- the 10^9-doc join-key cardinality); the pair set is identical
-    either way, only the candidate join changes."""
+    compound-key geometry (default 6 blocks, 3-block combo keys = 30
+    bits over 60 -- the 10^9-doc join-key cardinality); the pair set is
+    identical either way, only the candidate join changes.
+
+    ``n_blocks`` defaults per scheme (4 single-block, 6 compound) and
+    an EXPLICIT value is honored by both -- it is never silently
+    ignored."""
     sig = simhash_md5(df, id_col, text_col)
     if compound:
-        return _simhash_compound_pairs(sig, 60, 6, max_hamming)
+        n_blocks = 6 if n_blocks is None else n_blocks
+        assert max_hamming < n_blocks, "full recall needs max_hamming < n_blocks"
+        return _simhash_compound_pairs(sig, 60, n_blocks, max_hamming)
+    n_blocks = 4 if n_blocks is None else n_blocks
     assert max_hamming < n_blocks, "exactness needs max_hamming < n_blocks"
     return _simhash_block_pairs(sig, 60, n_blocks, max_hamming)
 

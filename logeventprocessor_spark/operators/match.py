@@ -346,6 +346,13 @@ _PIN_CACHE: dict[tuple, int] = {}
 _CONTENT_CACHE: dict[tuple, tuple] = {}
 _CONTENT_KEEP = 4
 _PIN_KEEP = 8
+# (path, pin_key) pairs whose pinned version's compiled content was
+# evicted AND no longer resolvable from disk -- those tasks fell back
+# to the newest version, reopening the mid-batch version-mix window
+# the pin exists to close. Counted + warned (never silent) so an
+# operator flooding publishes mid-batch is observable; bump
+# _CONTENT_KEEP if this ever fires in practice.
+_PIN_FALLBACKS: dict[tuple, int] = {}
 
 
 def _batch_pin_key() -> str | None:
@@ -387,13 +394,35 @@ def dynamic_rules(path: str, pin_key: str | None = None) -> tuple[tuple, dict]:
 
     if pin_key is None:
         pin_key = _batch_pin_key()
+    pinned_lost = None
     if pin_key is not None:
         m = _PIN_CACHE.get((path, pin_key))
         if m is not None:
             got = _CONTENT_CACHE.get((path, m))
             if got is not None:
                 return got
+            pinned_lost = m  # evicted by >_CONTENT_KEEP publishes
     mtime = os.stat(path).st_mtime_ns
+    if pinned_lost is not None and mtime != pinned_lost:
+        # the pinned version is neither cached nor on disk (atomic
+        # replacement discarded it) -- the fallback below re-pins this
+        # batch to the newest version. Count + warn instead of failing:
+        # a version mix is the reference's own behavior for a mid-batch
+        # swap, and killing the batch would trade a soft consistency
+        # residue for an availability loss.
+        import warnings
+
+        k = (path, pin_key)
+        _PIN_FALLBACKS[k] = _PIN_FALLBACKS.get(k, 0) + 1
+        warnings.warn(
+            f"dynamic_rules: pinned version {pinned_lost} of {path} was "
+            f"evicted and is no longer on disk; batch {pin_key} re-pins "
+            f"to {mtime} (fallback #{_PIN_FALLBACKS[k]}). More than "
+            f"{_CONTENT_KEEP} publishes landed while this batch was in "
+            "flight -- throttle publishes or raise _CONTENT_KEEP.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     got = _CONTENT_CACHE.get((path, mtime))
     if got is None:
         from logeventprocessor_spark.rules import load_rules_yaml

@@ -32,16 +32,32 @@ def _ws_tokens(col):
     return F.split(F.trim(col), r"\s+")
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame, mode: str | None = None) -> DataFrame:
     """Rebalance a NARROW input before per-row token/n-gram expansion:
     the pre-transform partition count bounds downstream parallelism. A
-    100 TB table arrives with thousands of splits; a small local file
-    arrives with ONE -- only repartition when the input is narrower
-    than the cluster."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
+    100 TB table arrives with thousands of splits and needs NO help; a
+    small local file arrives with ONE split and serializes everything
+    downstream.
+
+    Deliberately does NOT probe ``df.rdd.getNumPartitions()`` -- that
+    forces plan analysis + an RDD conversion on the driver for every
+    query *construction*.  The decision is taken from ``mode`` (or the
+    session conf ``spark.logep.fanOut.mode``):
+
+    - ``"always"`` (default): round-robin repartition to
+      ``defaultParallelism``. Right for local/bench runs where inputs
+      are a handful of small files; at bench scale this matches the
+      old probing behavior exactly (file splits < cores).
+    - ``"never"``: pass through. Right for a real cluster whose scan
+      already yields >= cluster-parallelism splits -- repartitioning
+      100 TB of text just to reshape would be a pure-cost shuffle.
+    """
+    spark = df.sparkSession
+    if mode is None:
+        mode = spark.conf.get("spark.logep.fanOut.mode", "always")
+    if mode == "never":
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -117,7 +117,18 @@ def stream_cooldown_tws(matches: DataFrame, rules: list[Rule]) -> DataFrame:
     test skips here and the operator is exercised on protobuf-equipped
     clusters -- recorded like the absent Iceberg jar). Kept alongside
     the applyInPandasWithState form with a pytest parity pin so the
-    two can never diverge."""
+    two can never diverge.
+
+    STATE-SCHEMA COMPATIBILITY: the ValueState widened from
+    ``last_fire_ns long`` to ``(last_fire_ns, timer_ms)``. Under the
+    default UnsafeRow state encoding Spark validates the stored schema
+    at query START, so restarting on a checkpoint written by the
+    1-field build fails before the in-code 1-tuple guards below ever
+    run -- those guards only help under
+    ``spark.sql.streaming.stateStore.encodingFormat=avro`` (schema
+    evolution). Upgrading an UnsafeRow-encoded deployment therefore
+    requires a fresh checkpoint (the sink is batch-id idempotent, so a
+    bounded replay from the source is safe)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -288,6 +299,16 @@ SEQ_ALL_STATE_SCHEMA = T.StructType(
     [
         T.StructField("a_ts_ns", T.ArrayType(T.LongType()), True),
         T.StructField("a_turn", T.ArrayType(T.IntegerType()), True),
+        # B turns already emitted, kept within the watermark horizon:
+        # an at-least-once source replaying a B row in a LATER batch
+        # must not re-emit its pairs (the batch operator's .distinct()
+        # dedups globally; intra-batch dupes are handled by
+        # drop_duplicates on the batch frame). Schema widened from the
+        # 2-field round-4 form -- UnsafeRow state encoding validates at
+        # query start, so upgrading needs a fresh checkpoint (sink is
+        # batch-id idempotent; bounded source replay is safe).
+        T.StructField("b_ts_ns", T.ArrayType(T.LongType()), True),
+        T.StructField("b_turn", T.ArrayType(T.IntegerType()), True),
     ]
 )
 
@@ -336,12 +357,24 @@ def stream_sequence_detect_all(
         buf: list[tuple[int, int]] = (
             list(zip(st[0], st[1])) if st is not None else []
         )
+        # B's whose pairs were already emitted (cross-batch replay
+        # guard); old 2-field state tuples have no b columns
+        b_done: list[tuple[int, int]] = (
+            list(zip(st[2], st[3]))
+            if st is not None and len(st) > 3 and st[2] is not None
+            else []
+        )
         seen = {t for _, t in buf}
+        seen_b = {t for _, t in b_done}
         out = []
         within_ns = within_ms * 1_000_000
         for row in g.itertuples(index=False):
             ts_ns = int(pd.Timestamp(row.ts).value)
             if row.rule_id == rule_b:
+                if row.turn_idx in seen_b:
+                    continue  # replayed B from an earlier batch
+                b_done.append((ts_ns, int(row.turn_idx)))
+                seen_b.add(row.turn_idx)
                 for a_ts_ns, a_turn in buf:
                     # the equal-ts tie rule of the batch operator: an A
                     # at the same timestamp precedes B only when
@@ -363,17 +396,32 @@ def stream_sequence_detect_all(
                 if row.turn_idx not in seen:
                     buf.append((ts_ns, int(row.turn_idx)))
                     seen.add(row.turn_idx)
+        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
         if buf:
             # evict A's no future B (ts >= watermark) can reach, then
             # apply the hard cap newest-first
-            wm_ns = state.getCurrentWatermarkMs() * 1_000_000
             buf = [a for a in buf if a[0] + within_ns >= wm_ns]
             buf.sort(key=lambda a: a[0])
             buf = buf[-max_as:]
-        if buf:
-            state.update(([a[0] for a in buf], [a[1] for a in buf]))
+        if b_done:
+            # a replayed B reaches this operator only while its event
+            # time is >= the watermark (Spark drops later replays
+            # upstream of stateful ops), so the replay guard only needs
+            # entries inside the horizon; same newest-first skew cap
+            b_done = [b for b in b_done if b[0] >= wm_ns]
+            b_done.sort(key=lambda b: b[0])
+            b_done = b_done[-max_as:]
+        if buf or b_done:
+            state.update(
+                (
+                    [a[0] for a in buf],
+                    [a[1] for a in buf],
+                    [b[0] for b in b_done],
+                    [b[1] for b in b_done],
+                )
+            )
             wm = state.getCurrentWatermarkMs()
-            newest = max(a[0] for a in buf)
+            newest = max(x[0] for x in buf + b_done)
             state.setTimeoutTimestamp(
                 max(newest // 1_000_000 + within_ms + 1000, wm + 1000)
             )

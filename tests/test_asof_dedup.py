@@ -60,6 +60,65 @@ def test_asof_tolerance(spark, trades_quotes):
     assert got.loc[1, "asof_quote_id"] == 101
 
 
+def test_asof_tolerance_exact_boundary(spark):
+    """A pair landing EXACTLY on the tolerance is kept (<= semantics),
+    one microsecond past is dropped -- and both agree with DuckDB's
+    exact ``ASOF JOIN ... INTERVAL`` arithmetic. Double-precision epoch
+    subtraction (the pre-round-5 implementation) has ~2.4e-7 s
+    resolution at 2024 epochs and can flip these rows; the integer
+    unix_micros difference cannot."""
+    import duckdb
+
+    # gaps vs the single quote at 10:00:00.000001:
+    #   trade 1 -> exactly 60 s   (boundary: keep)
+    #   trade 2 -> 60 s + 1 us    (drop)
+    #   trade 3 -> 59.999999 s    (keep)
+    quotes_rows = [("A", 100, datetime(2024, 3, 1, 10, 0, 0, 1))]
+    trades_rows = [
+        ("A", 1, datetime(2024, 3, 1, 10, 1, 0, 1)),
+        ("A", 2, datetime(2024, 3, 1, 10, 1, 0, 2)),
+        ("A", 3, datetime(2024, 3, 1, 10, 1, 0, 0)),
+    ]
+    trades = spark.createDataFrame(
+        trades_rows, "key string, trade_id int, ts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        quotes_rows, "key string, quote_id int, ts timestamp"
+    )
+    got = (
+        asof_join(trades, quotes, key="key", right_cols=["quote_id"],
+                  tolerance_ms=60_000)
+        .toPandas()
+        .set_index("trade_id")["asof_quote_id"]
+    )
+    assert got.loc[1] == 100
+    assert pd.isna(got.loc[2])
+    assert got.loc[3] == 100
+
+    con = duckdb.connect()
+    con.register(
+        "trades",
+        pd.DataFrame(trades_rows, columns=["key", "trade_id", "ts"]),
+    )
+    con.register(
+        "quotes",
+        pd.DataFrame(quotes_rows, columns=["key", "quote_id", "ts"]),
+    )
+    oracle = con.execute(
+        """
+        SELECT t.trade_id,
+               CASE WHEN q.ts >= t.ts - INTERVAL 60000 MILLISECOND
+                    THEN q.quote_id END AS asof_quote_id
+        FROM trades t
+        ASOF LEFT JOIN quotes q
+          ON t.key = q.key AND q.ts <= t.ts
+        """
+    ).df().set_index("trade_id")["asof_quote_id"]
+    for tid in (1, 2, 3):
+        s, o = got.loc[tid], oracle.loc[tid]
+        assert (pd.isna(s) and pd.isna(o)) or s == o, (tid, s, o)
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     import os
 

@@ -102,3 +102,28 @@ def test_suppress_group_state_carry():
     kept2, last2 = suppress_group(g2, 5000, last_fire_ns=last1)
     assert kept2["turn_idx"].tolist() == [2]
     assert last2 == int(pd.Timestamp("2024-03-01 00:00:06").value)
+
+
+def test_suppress_group_tz_aware_is_epoch_based():
+    """tz-aware frames must normalize to UTC EPOCH ns, not wall time:
+    the streaming backends seed last_fire_ns from JVM unix_micros (UTC
+    epoch), so a non-UTC tz-aware frame dropped to wall time would skew
+    every cross-batch cooldown by the tz offset (round-4 advice)."""
+    base = pd.Timestamp("2024-03-01 00:00:00", tz="UTC")
+    # same instants rendered in a +05:00 zone
+    g = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [base + pd.Timedelta(seconds=s) for s in (0, 3, 6)]
+            ).tz_convert("Asia/Karachi"),
+            "turn_idx": [0, 1, 2],
+        }
+    )
+    # seed: a fire at base-4s in epoch ns -> +0s is inside the 5 s
+    # cooldown (gap 4s), +3s fires (gap 7s), +6s is suppressed (gap
+    # 3s). A wall-time skew (+05:00 -> every ts 5h past the seed)
+    # would instead fire turn 0 -- which this pins against.
+    seed = int((base - pd.Timedelta(seconds=4)).value)
+    kept, last = suppress_group(g, 5000, last_fire_ns=seed)
+    assert kept["turn_idx"].tolist() == [1]
+    assert last == int((base + pd.Timedelta(seconds=3)).value)

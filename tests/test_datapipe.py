@@ -144,6 +144,34 @@ def test_simhash_compound_pairs(spark, docs):
     }
 
 
+def test_simhash_md5_compound_honors_n_blocks(spark, docs, monkeypatch):
+    """An explicit n_blocks must reach the compound geometry (round-4
+    advice: it was silently ignored), and an unsound geometry
+    (max_hamming >= n_blocks) must be rejected, not silently lossy."""
+    import pytest
+
+    seen = []
+    orig = D._simhash_compound_pairs
+
+    def spy(sig, n_bits, n_blocks, max_hamming):
+        seen.append(n_blocks)
+        return orig(sig, n_bits, n_blocks, max_hamming)
+
+    monkeypatch.setattr(D, "_simhash_compound_pairs", spy)
+    default = D.simhash_md5_pairs(docs, max_hamming=3, compound=True)
+    explicit = D.simhash_md5_pairs(
+        docs, max_hamming=3, n_blocks=5, compound=True
+    )
+    assert seen == [6, 5]  # default geometry, then the caller's
+    key = lambda df: sorted(
+        (r.doc_a, r.doc_b, r.hamming) for r in df.toPandas().itertuples()
+    )
+    # both geometries are exact -> identical pair sets
+    assert key(default) == key(explicit)
+    with pytest.raises(AssertionError, match="full recall"):
+        D.simhash_md5_pairs(docs, max_hamming=5, n_blocks=4, compound=True)
+
+
 def test_simhash_compound_spread_bits(spark):
     """Adversarial recall case for the compound scheme: the 3 differing
     bits land in 3 DISTINCT blocks (offsets 0,11,22,33,44,54 for 6

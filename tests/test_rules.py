@@ -281,3 +281,54 @@ def test_dynamic_rules_batch_pin(tmp_path):
     bump_mtime(m2)
     p4, _ = M.dynamic_rules(path)
     assert "r1" in str(p4)
+
+
+def test_dynamic_rules_pin_eviction_fallback_warns(tmp_path):
+    """If > _CONTENT_KEEP publishes land while a batch is in flight,
+    the batch's pinned version is evicted and unrecoverable; the
+    fallback to the newest version must be COUNTED and WARNED, never
+    silent (round-4 advice) -- and a pinned version still on disk must
+    be reloaded, not fallen back from."""
+    import os
+    import warnings
+
+    from logeventprocessor_spark.operators import match as M
+    from logeventprocessor_spark.rules import publish_rules
+
+    path = str(tmp_path / "rules.yaml")
+
+    def bump_mtime(prev_ns):
+        if os.stat(path).st_mtime_ns == prev_ns:
+            os.utime(path, ns=(os.stat(path).st_atime_ns, prev_ns + 1))
+
+    publish_rules(path, "regex_rules:\n  - name: r0\n    pattern: p0\n")
+    for cache in (M._PIN_CACHE, M._CONTENT_CACHE, M._PIN_FALLBACKS):
+        for k in [k for k in cache if k[0] == path]:
+            del cache[k]
+
+    p0, _ = M.dynamic_rules(path, pin_key="42")
+    assert "r0" in str(p0)
+
+    # Case 1: content evicted but the pinned version is still the file
+    # on disk -> silent reload, no fallback
+    m0 = os.stat(path).st_mtime_ns
+    del M._CONTENT_CACHE[(path, m0)]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        p0b, _ = M.dynamic_rules(path, pin_key="42")
+    assert p0b == p0
+    assert not M._PIN_FALLBACKS
+
+    # Case 2: flood _CONTENT_KEEP+1 publishes -> version 0 evicted AND
+    # replaced on disk -> warned, counted, re-pinned to newest
+    for i in range(M._CONTENT_KEEP + 1):
+        prev = os.stat(path).st_mtime_ns
+        publish_rules(
+            path, f"regex_rules:\n  - name: r{i + 1}\n    pattern: p{i + 1}\n"
+        )
+        bump_mtime(prev)
+        M.dynamic_rules(path)  # compile each version into the cache
+    with pytest.warns(RuntimeWarning, match="re-pins"):
+        p_new, _ = M.dynamic_rules(path, pin_key="42")
+    assert f"r{M._CONTENT_KEEP + 1}" in str(p_new)
+    assert M._PIN_FALLBACKS[(path, "42")] == 1

@@ -258,6 +258,62 @@ def test_stream_sequence_all_equals_batch_oracle(spark, tmp_path):
     assert not got.duplicated(["conv_id", "a_turn_idx", "b_turn_idx"]).any()
 
 
+def test_stream_sequence_all_b_replay_dedup(spark, tmp_path):
+    """An at-least-once source replaying a B row in a LATER micro-batch
+    must not re-emit its pairs: the detector tracks emitted B turns in
+    state within the watermark horizon (round-4 advice). The batch
+    operator dedups globally via .distinct(); before this guard the
+    stream variant deduped only within one batch frame."""
+    import pandas as pd
+    from logeventprocessor_spark.schema import MATCHES_SCHEMA
+    from logeventprocessor_spark.streaming.pipeline import (
+        stream_sequence_detect_all,
+    )
+
+    base = pd.Timestamp("2024-03-01 10:00:00")
+    rows = [
+        ("c", 0, "A", base),
+        ("c", 1, "A", base + pd.Timedelta(seconds=5)),
+        ("c", 2, "B", base + pd.Timedelta(seconds=20)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "rule_id", "ts"])
+    pdf["rule_idx"] = 0
+    pdf["extracted"] = ""
+    pdf["text"] = "t"
+    pdf = pdf[[f.name for f in MATCHES_SCHEMA.fields]]
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["rule_idx"] = pdf["rule_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    input_dir = str(tmp_path / "in")
+    import os
+
+    os.makedirs(input_dir, exist_ok=True)
+    # batch 0: both A's + the B; batch 1: the SAME B row redelivered
+    pdf.to_parquet(f"{input_dir}/part-0.parquet", index=False)
+    pdf.iloc[[2]].to_parquet(f"{input_dir}/part-1.parquet", index=False)
+    m = (
+        spark.readStream.schema(MATCHES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    seq = stream_sequence_detect_all(m, "A", "B", within_ms=60_000)
+    q = (
+        seq.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    # exactly the two (A, B) pairs, each ONCE despite the B replay
+    assert sorted(
+        map(tuple, got[["a_turn_idx", "b_turn_idx"]].values)
+    ) == [(0, 2), (1, 2)]
+
+
 def test_stream_sequence_all_cap(spark, tmp_path):
     """The max_as hard cap keeps only the NEWEST A's: 5 planted A's with
     max_as=3 -> the B pairs with the last 3 only (explicit-recall-loss
