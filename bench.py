@@ -160,6 +160,31 @@ def main():
         timings["cep_streaming_pipeline"] = med
         spread["cep_streaming_pipeline"] = xs
         throughput["stream_turns_per_sec"] = round(n_turns / med, 1)
+
+        # --- same pipeline + the T5 watermarked stream-stream context
+        # join (second source scan + keyed join state) -- its own line
+        # so the join's cost is measured, not guessed ---
+        def stream_ctx_once():
+            sdir = tempfile.mkdtemp(prefix="bench_sctx_", dir=tmp)
+            q, _ = start_pipeline(
+                spark, f"{tmp}/turns", rules,
+                out_dir=f"{sdir}/out", checkpoint_dir=f"{sdir}/ckpt",
+                watermark="10 minutes", max_files_per_trigger=None,
+                with_context_join=True,
+                # join-state partitions sized to the per-trigger state
+                # volume, not the core count: stateful ops pay a FIXED
+                # per-partition store cost per batch (32 vs 8 at this
+                # SF: 24 s vs 5 s per batch -- see start_pipeline doc)
+                state_partitions=8,
+            )
+            q.awaitTermination(3600)
+            shutil.rmtree(sdir, ignore_errors=True)
+
+        stream_ctx_once()
+        med, xs = _median_runs(stream_ctx_once, N_PIPE_RUNS)
+        timings["cep_streaming_ctx_pipeline"] = med
+        spread["cep_streaming_ctx_pipeline"] = xs
+        throughput["stream_ctx_turns_per_sec"] = round(n_turns / med, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

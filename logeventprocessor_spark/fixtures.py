@@ -50,7 +50,9 @@ import pyarrow.parquet as pq
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURES_ROOT = os.path.join(_REPO_ROOT, ".fixtures")
 
-_V = "v1"
+# v2: transcript corpus gained interleaved rate-limit bursts (second
+# concurrent cooldown chain per conversation, round-4 verdict task #5)
+_V = "v2"
 TRANSCRIPTS_N_CONVS = 40
 MEDIA_N = 60
 # sf dir the driver's oracle comparison runs at. The oracle SQL strings

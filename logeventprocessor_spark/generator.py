@@ -92,7 +92,11 @@ def make_transcripts(
             rows.append((conv_id, i, role, text, tool, ts_list[i]))
         # spam-ping bursts to exercise cooldown: pairs ~1.5 s apart
         # (inside the 5000 ms cooldown -> second fire suppressed) and
-        # singles >6 s apart (outside -> fires).
+        # singles >6 s apart (outside -> fires). INTERLEAVED with
+        # rate-limit lines so TWO cooldown chains (spam_guard 5000 ms,
+        # rate_guard 4000 ms) run concurrently per conversation: each
+        # chain's greedy state must be keyed (conv_id, rule_id) -- a
+        # shared clock would wrongly suppress across rules.
         if c < spam_burst_convs:
             t_burst = ts_list[-1]
             idx = n_turns
@@ -100,8 +104,16 @@ def make_transcripts(
                 t_burst = t_burst + pd.Timedelta(seconds=8)
                 rows.append((conv_id, idx, "system", "spam ping alpha", "", t_burst))
                 idx += 1
+                rows.append((conv_id, idx, "system",
+                             "rate limit exceeded on search_api", "",
+                             t_burst + pd.Timedelta(seconds=0.5)))
+                idx += 1
                 t_burst = t_burst + pd.Timedelta(seconds=1.5)
                 rows.append((conv_id, idx, "system", "spam ping beta", "", t_burst))
+                idx += 1
+                rows.append((conv_id, idx, "system",
+                             "rate limit exceeded on vector_db", "",
+                             t_burst + pd.Timedelta(seconds=1.0)))
                 idx += 1
 
     pdf = pd.DataFrame(
@@ -168,7 +180,12 @@ def make_transcripts_fast(
     # object dtype throughout: fancy-indexing a fixed-width U array
     # would materialize rows*maxlen*4 bytes (8+ GB at 30M rows)
     plants = [t.format(w=w, i=i) for t in _PLANTS
-              for w in _WORDS[:2] for i in (7, 21)] + ["spam ping alpha"]
+              for w in _WORDS[:2] for i in (7, 21)] + [
+        "spam ping alpha",
+        # second hot (cooldown) rule: keeps BOTH cooldown chains live
+        # at bench scale, mirroring the fixture corpus
+        "rate limit exceeded on search_api",
+    ]
     pool = np.array(_FILLER * 3 + plants, dtype=object)
     is_plant = turn_idx % 5 == 2
     pool_idx = rng.randint(0, len(_FILLER) * 3, n)

@@ -303,9 +303,18 @@ def _match_batch(pdf: pd.DataFrame, compiled: list) -> pd.DataFrame | None:
     ]
 
 
-def match_turns(turns: DataFrame, rules: list[Rule]) -> DataFrame:
+def match_turns(
+    turns: DataFrame, rules: list[Rule], ipc_meter=None
+) -> DataFrame:
     """turns(conv_id, turn_idx, text, ts, ...) -> MATCHES_SCHEMA rows
     (Arrow-native mapInArrow -- see ``_arrow_match_batches``).
+
+    ``ipc_meter``: optional 4-tuple of Spark accumulators
+    (in_bytes, in_rows, out_bytes, out_rows) that tallies the Arrow
+    RecordBatch volume actually crossing the JVM<->Python boundary --
+    the measured bottleneck of this operator. Used by the scaling
+    harness to report IPC-bytes-per-config instead of guessing;
+    ``None`` (the default) adds zero work to the hot path.
 
     When EVERY enabled rule has a provable required literal, a
     JVM-side codegen'd pre-filter (OR of ``contains(lower(text), lit)``)
@@ -318,20 +327,50 @@ def match_turns(turns: DataFrame, rules: list[Rule]) -> DataFrame:
     """
     payload = _rules_payload(rules)
 
-    def fn(batches):
-        yield from _arrow_match_batches(batches, _compiled(payload))
+    if ipc_meter is None:
+        def fn(batches):
+            yield from _arrow_match_batches(batches, _compiled(payload))
+    else:
+        acc_ib, acc_ir, acc_ob, acc_or = ipc_meter
+
+        def fn(batches):
+            def metered(bs):
+                for rb in bs:
+                    acc_ib.add(rb.nbytes)
+                    acc_ir.add(rb.num_rows)
+                    yield rb
+
+            for ob in _arrow_match_batches(metered(batches), _compiled(payload)):
+                acc_ob.add(ob.nbytes)
+                acc_or.add(ob.num_rows)
+                yield ob
 
     cols = [c for c in ("conv_id", "turn_idx", "text", "ts") if c in turns.columns]
     src = turns.select(*cols)
-    lits = {prefilter_literal(p) for (_, _, p) in payload}
-    if payload and None not in lits:
-        low = F.lower(F.col("text"))
-        cond = None
-        for lit in sorted(lits):
-            c = low.contains(F.lit(lit))
-            cond = c if cond is None else (cond | c)
-        src = src.filter(F.coalesce(cond, F.lit(False)))
+    cond = prefilter_condition(rules)
+    if cond is not None:
+        src = src.filter(cond)
     return src.mapInArrow(fn, schema=MATCHES_SCHEMA)
+
+
+def prefilter_condition(rules: list[Rule]):
+    """The JVM-side codegen'd candidate filter as a Column (OR of
+    ``contains(lower(text), literal)`` over every enabled rule's
+    provable required literal), or None when some rule has no literal.
+    A row failing this cannot match ANY rule -- so it gates the Arrow
+    boundary in ``match_turns`` and equally prunes the CONTEXT side of
+    the stream-stream join (a turn that cannot match never needs its
+    role/tool buffered in join state)."""
+    payload = _rules_payload(rules)
+    lits = {prefilter_literal(p) for (_, _, p) in payload}
+    if not payload or None in lits:
+        return None
+    low = F.lower(F.col("text"))
+    cond = None
+    for lit in sorted(lits):
+        c = low.contains(F.lit(lit))
+        cond = c if cond is None else (cond | c)
+    return F.coalesce(cond, F.lit(False))
 
 
 # --- dynamic (hot-reload) rule loading: per-worker two-level cache ---

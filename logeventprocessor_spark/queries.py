@@ -139,35 +139,46 @@ def _canon_steps_sql() -> str:
 
 def _flagship_oracle_sql() -> str:
     """The full canonical pipeline in SQL: match (UNION-ALL regex
-    scans) -> cooldown (recursive-CTE greedy chain per conv, for the
-    one cooldown-bearing rule) -> steps join -> render."""
+    scans) -> cooldown (recursive-CTE greedy chain per (conv, rule),
+    generalized to ANY number of cooldown-bearing rules, each with its
+    own cooldown length carried through the recursion) -> steps join ->
+    render."""
     tpath = FX.transcripts_fixture_path(ensure=False)
     cd_rules = [r for r in canonical_rules() if r.cooldown_ms > 0]
-    assert len(cd_rules) == 1, "oracle encodes exactly one cooldown rule"
-    cd = cd_rules[0]
+    assert cd_rules, "flagship corpus must exercise the cooldown operator"
+    cd_values = ", ".join(
+        f"('{_sq(r.rule_id)}', CAST({r.cooldown_ms} AS BIGINT))"
+        for r in cd_rules
+    )
+    cd_ids = ", ".join(f"'{_sq(r.rule_id)}'" for r in cd_rules)
     return f"""
         WITH RECURSIVE t AS (SELECT * FROM read_parquet('{tpath}')),
         m AS ({_canon_matches_sql()}),
         hits AS (
-          SELECT conv_id, turn_idx, ts, text, extracted, rule_idx,
-                 row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
-          FROM m WHERE rule_id = '{cd.rule_id}'
+          SELECT m.conv_id, m.turn_idx, m.ts, m.text, m.extracted,
+                 m.rule_id, m.rule_idx, cd.cd_ms,
+                 row_number() OVER (PARTITION BY m.conv_id, m.rule_id
+                                    ORDER BY m.ts, m.turn_idx) AS rn
+          FROM m JOIN (VALUES {cd_values}) AS cd(rule_id, cd_ms)
+            ON m.rule_id = cd.rule_id
         ), fire AS (
-          SELECT conv_id, turn_idx, ts, text, extracted, rule_idx, rn
+          SELECT conv_id, turn_idx, ts, text, extracted, rule_id,
+                 rule_idx, cd_ms, rn
           FROM hits WHERE rn = 1
           UNION ALL
-          SELECT n.conv_id, n.turn_idx, n.ts, n.text, n.extracted, n.rule_idx, n.rn
+          SELECT n.conv_id, n.turn_idx, n.ts, n.text, n.extracted,
+                 n.rule_id, n.rule_idx, n.cd_ms, n.rn
           FROM fire f, LATERAL (
             SELECT * FROM hits h
-            WHERE h.conv_id = f.conv_id
-              AND h.ts >= f.ts + INTERVAL {cd.cooldown_ms} MILLISECOND
+            WHERE h.conv_id = f.conv_id AND h.rule_id = f.rule_id
+              AND h.ts >= f.ts + to_milliseconds(f.cd_ms)
             ORDER BY h.rn LIMIT 1
           ) n
         ), kept AS (
           SELECT conv_id, turn_idx, ts, text, rule_id, rule_idx, extracted
-          FROM m WHERE rule_id <> '{cd.rule_id}'
+          FROM m WHERE rule_id NOT IN ({cd_ids})
           UNION ALL
-          SELECT conv_id, turn_idx, ts, text, '{cd.rule_id}', rule_idx, extracted
+          SELECT conv_id, turn_idx, ts, text, rule_id, rule_idx, extracted
           FROM fire
         )
         SELECT k.conv_id, k.turn_idx, k.rule_id, k.rule_idx,

@@ -243,6 +243,20 @@ def canonical_rules() -> list[Rule]:
             cooldown_ms=5000,
             steps=(RuleStep(0, "command", "ack spam"),),
         ),
+        # SECOND cooldown rule (round-4 verdict task #5): a different
+        # cooldown length + group(1) extraction + '#' substitution, so
+        # the flagship fixture exercises >=2 concurrent cooldown keys
+        # per conversation and the oracle's greedy chain must be
+        # per-(conv, rule), not single-rule. The reference's cooldown
+        # map is keyed per rule exactly like this
+        # (ActionManager.cpp:96-110 -- cooldowns[rule.name]).
+        Rule(
+            "rate_guard",
+            8,
+            r".*rate limit exceeded on ([a-z_]+).*",
+            cooldown_ms=4000,
+            steps=(RuleStep(0, "command", "throttle #"),),
+        ),
     ]
     return validate_rules(rules)
 

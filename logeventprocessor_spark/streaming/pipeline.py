@@ -658,8 +658,32 @@ def start_pipeline(
     ack_types: list[str] | None = None,
     state_store: str | None = None,
     cooldown_backend: str = "snapshot",
+    with_context_join: bool = False,
+    ipc_meter=None,
+    state_partitions: int | None = None,
 ):
     """Wire the full query and start it. Returns (query, sink).
+
+    ``with_context_join`` (snapshot backend only): interpose the T5
+    watermarked stream-stream join (``stream_join_context``) between
+    match and cooldown, so every sink row carries the turn's role/tool
+    context. The context side is a SECOND scan of the source stream --
+    the inherent price of a true stream-stream join (both sides buffer
+    keyed state inside the join window); measured as its own bench
+    line (``cep_streaming_ctx_pipeline``). The cooldown gate still
+    sees pure MATCHES_SCHEMA rows (role/tool are split off inside the
+    micro-batch and re-attached after step expansion), so suppression
+    semantics are pinned identical to the plain pipeline.
+
+    ``state_partitions``: shuffle-partition count pinned into THIS
+    query's checkpoint at first start (Spark reads the session conf at
+    query planning; the session value is restored right after
+    ``start()``). Stateful operators pay a FIXED per-partition cost
+    per micro-batch (store open/commit/maintenance x 4 stores per
+    partition for a stream-stream join) -- measured at 32 vs 8 on a
+    ~100K-row trigger: 24.1 s vs 5.0 s per batch. Size it to the
+    per-trigger state volume, not the core count; on a 100 TB cluster
+    those are close, at bench scale they are 4x apart.
 
     ``ack_types``: action types that additionally produce an ``acks``
     row (K4, the reference's acknowledgment email after processing a
@@ -704,13 +728,40 @@ def start_pipeline(
         if late_cutoff is not None:
             stream = stream.filter(F.col("ts") >= F.lit(late_cutoff))
         enabled = [r for r in rules if r.enabled]
-        matched = match_turns(stream, enabled)
+        matched = match_turns(stream, enabled, ipc_meter=ipc_meter)
+        if with_context_join:
+            from logeventprocessor_spark.operators.match import (
+                prefilter_condition,
+            )
+
+            ctx_src = read_transcripts_stream(
+                spark, input_dir, max_files_per_trigger
+            )
+            if late_cutoff is not None:
+                ctx_src = ctx_src.filter(F.col("ts") >= F.lit(late_cutoff))
+            # the context side only exists to serve MATCHED turns, and
+            # a match requires some rule literal -- the same codegen'd
+            # prefilter that gates the Arrow boundary prunes the join
+            # state ~5x (unfiltered, EVERY turn in the watermark
+            # horizon sits in the join's state store)
+            pre = prefilter_condition(enabled)
+            if pre is not None:
+                ctx_src = ctx_src.filter(pre)
+            # join_window is a pure state-size knob here: a match row
+            # carries the turn's OWN ts, so the equality join always
+            # lands at zero time distance -- keep the buffer tight
+            matched = stream_join_context(
+                matched, ctx_src, watermark, join_window="1 minute"
+            )
         cool = CooldownSnapshotState(
             spark,
             _os.path.join(out_dir, "cooldown_state"),
             rules,
             delay_to_ms(watermark),
         )
+
+        sink.phases = []  # per-batch wall-time decomposition, free to
+        # collect (4 clock reads/batch); the scaling harness reads it
 
         def process(df: DataFrame, batch_id: int) -> None:
             # ONE cache (the gated matches) and TWO jobs per batch:
@@ -720,9 +771,23 @@ def start_pipeline(
             # previous shape (cache raw matches AND gated, separate
             # max-ts job) measured ~3.7 s of fixed per-batch work that
             # capped streaming scaling (BENCH/BASELINE.md).
+            import time as _t
+
             from pyspark.sql import Observation
 
+            t0 = _t.time()
+            ctx = raw = None
+            if with_context_join:
+                # split the joined frame: pure MATCHES_SCHEMA rows feed
+                # the cooldown gate (its Arrow path maps columns BY
+                # POSITION); role/tool re-attach after step expansion
+                raw = df.persist()
+                ctx = raw.select(
+                    "conv_id", "turn_idx", "rule_id", "role", "tool"
+                ).dropDuplicates(["conv_id", "turn_idx", "rule_id"])
+                df = raw.select(*[f.name for f in MATCHES_SCHEMA.fields])
             gated = cool.gate(df, batch_id).persist()
+            t_gate = _t.time()
             try:
                 obs = Observation(f"wm_{batch_id}")
                 # watermark source = HOT-rule event time only, matching
@@ -735,6 +800,10 @@ def start_pipeline(
                 out = expand_steps(
                     gated.observe(obs, F.max(wm_src).alias("max_ts")), rules
                 )
+                if ctx is not None:
+                    out = out.join(
+                        ctx, ["conv_id", "turn_idx", "rule_id"], "left"
+                    )
                 sink.write(out, batch_id)
                 if ack_types:
                     acks = out.filter(
@@ -744,12 +813,29 @@ def start_pipeline(
                         F.lit("ack").alias("status"), "ts",
                     )
                     sink.write_table("acks", acks, batch_id)
+                t_sink = _t.time()
                 cool.advance(gated, batch_id, max_ts=obs.get["max_ts"])
+                sink.phases.append({
+                    "batch_id": int(batch_id),
+                    # plan-build + snapshot read (driver-side)
+                    "gate_plan_s": round(t_gate - t0, 3),
+                    # job 1: scan->match->gate->expand->parquet write
+                    "sink_write_s": round(t_sink - t_gate, 3),
+                    # job 2: fires agg + snapshot commit
+                    "advance_s": round(_t.time() - t_sink, 3),
+                })
             finally:
                 gated.unpersist()
+                if raw is not None:
+                    raw.unpersist()
 
         actions = matched
     else:
+        if with_context_join:
+            raise ValueError(
+                "with_context_join is implemented for the snapshot "
+                "backend (use stream_join_context directly otherwise)"
+            )
         actions = build_match_stream(stream, rules, watermark, late_cutoff)
 
         if ack_types:
@@ -776,5 +862,14 @@ def start_pipeline(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    q = writer.start()
+    if state_partitions is None:
+        q = writer.start()
+    else:
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(state_partitions))
+        try:
+            q = writer.start()
+        finally:
+            spark.conf.set(key, old)
     return q, sink
