@@ -1126,6 +1126,28 @@ def q_cep_transcripts_flagship(spark, sf_dir):
     )
 
 
+def q_cep_actions_with_context(spark, sf_dir):
+    """T5's row contract in batch form, driver-oracled: every flagship
+    action row re-joined to its source turn's role/tool context -- the
+    same (conv_id, turn_idx) equality the streaming context join
+    performs statefully (stream_join_context /
+    start_pipeline(with_context_join=True); streaming parity is pinned
+    by tests/test_streaming.py::test_context_join_pipeline_end_to_end).
+    Reference analog: actions carry the original logLine forward
+    (ActionManager.h:22, set at ActionManager.cpp:82)."""
+    FX.transcripts_fixture_path()
+    turns = transcripts_df(
+        spark, make_transcripts(n_convs=FX.TRANSCRIPTS_N_CONVS, seed=42)
+    )
+    acts = match_actions(turns, canonical_rules(), with_cooldown=True)
+    ctx = turns.select("conv_id", "turn_idx", "role", "tool")
+    return acts.join(F.broadcast(ctx), ["conv_id", "turn_idx"]).select(
+        "conv_id", "turn_idx", "rule_id", "step_idx", "role", "tool",
+        "rendered_value",
+        F.date_format("ts", TS_FMT_SPARK_US).alias("ts"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal decode, DuckDB-oracled: Spark reads the media fixture
     parquet and DECODES every payload header (decode_meta -> n_bytes +
@@ -1159,6 +1181,13 @@ ORACLES: dict[str, str] = {
     """,
     "cep_fallback_classify": _fallback_classify_oracle_sql(),
     "cep_transcripts_flagship": _flagship_oracle_sql(),
+    "cep_actions_with_context": f"""
+        SELECT f.conv_id, f.turn_idx, f.rule_id, f.step_idx,
+               c.role, c.tool, f.rendered_value, f.ts
+        FROM ({_flagship_oracle_sql()}) f
+        JOIN read_parquet('{FX.transcripts_fixture_path(ensure=False)}') c
+          USING (conv_id, turn_idx)
+    """,
     "cep_cooldown_fires": f"""
         WITH RECURSIVE hits AS (
           SELECT conv_id, turn_idx, ts,
@@ -1694,13 +1723,13 @@ def build_queries() -> dict:
         "cep_transcripts_flagship": q_cep_transcripts_flagship,
         "cep_match_actions": q_cep_match_actions,
         "cep_match_counts": q_cep_match_counts,
+        "cep_actions_with_context": q_cep_actions_with_context,
         "cep_fallback_classify": q_cep_fallback_classify,
         "cep_cooldown_fires": q_cep_cooldown_fires,
         "cep_sequence_pairs": q_cep_sequence_pairs,
         "cep_session_convs": q_cep_session_convs,
         "multimodal_features": q_multimodal_features,
         "window_tumbling_1h": q_window_tumbling_1h,
-        "window_sliding_1h_30m": q_window_sliding_1h_30m,
         "window_session_30m": q_window_session_30m,
         "sequence_signup_purchase": q_sequence_signup_purchase,
         "sequence_all_pairs": q_sequence_all_pairs,
@@ -1749,5 +1778,6 @@ def build_queries() -> dict:
         "rollup_hourly_to_daily": q_rollup_hourly_to_daily,
         "events_cube": q_events_cube,
         "tpch_q6_forecast": q_tpch_q6_forecast,
+        "window_sliding_1h_30m": q_window_sliding_1h_30m,
     }
     return qs
