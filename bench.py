@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "events_p95_udaf",
     "salted_agg_by_user",
     "ngram_jaccard_pairs",
+    "benchmark_decontamination",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "simhash_md5_pairs",

@@ -66,10 +66,11 @@ def dedup_stream_exact(stream: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
-) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+def _gram_array(text_col: str, n: int):
+    """(toks, grams) column expressions: whitespace-tokenize and build
+    the word n-gram array. Shared by every shingle-based operator so
+    the tokenization can never drift between them (the DuckDB oracles
+    replicate exactly this split/lower/trim)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -77,10 +78,76 @@ def shingles(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
+    return toks, grams
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks, grams = _gram_array(text_col, n)
     return (
         _fan_out(df.filter(F.size(toks) >= n))
         .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .distinct()
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    frac_threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many of its
+    distinct word n-grams appear anywhere in an evaluation/benchmark
+    set (the pipeline step published for GPT-3 appendix C and C4 --
+    training corpora are scrubbed of eval overlap before training).
+
+    Output: (doc_id, n_sh, n_contam, contam_frac, contaminated) for
+    EVERY corpus doc with >= n words -- emitting the clean rows too, so
+    a downstream anti-join or filter can pick its own policy (any-hit
+    removal vs fractional threshold).
+
+    100 TB design: the benchmark side is tiny (eval suites are MBs) --
+    its distinct shingle set is BROADCAST, so the corpus is scanned
+    ONCE: per-row ``array_distinct`` dedups shingles within the doc
+    with NO shuffle (one row per doc makes within-row dedup exact),
+    the broadcast left join marks hits JVM-side, and the only shuffle
+    is the final doc_id aggregation (map-side partial counts). The
+    global ``.distinct()`` that ``shingles()`` pays is deliberately
+    avoided on the big side."""
+    toks, grams = _gram_array(text_col, n)
+    corpus_sh = (
+        _fan_out(corpus.filter(F.size(toks) >= n))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(grams)).alias("shingle"),
+        )
+    )
+    bench_sh = (
+        shingles(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("hit").alias("n_contam"),
+        )
+    )
+    frac = F.col("n_contam") / F.col("n_sh")
+    return per_doc.select(
+        "doc_id",
+        "n_sh",
+        "n_contam",
+        F.round(frac, 6).alias("contam_frac"),
+        (frac >= F.lit(frac_threshold)).alias("contaminated"),
     )
 
 

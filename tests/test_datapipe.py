@@ -609,3 +609,30 @@ def test_simhash_md5_compound_same_pairs(spark, docs):
     key = lambda df: {(r.doc_a, r.doc_b, r.hamming) for r in df.itertuples(index=False)}
     assert key(single) == key(comp)
     assert D.compound_key_bits(60, 6, 3) >= 30
+
+
+def test_ngram_contamination_planted(spark):
+    """Decontamination flags exactly the planted overlaps: an exact
+    copy of a benchmark doc (frac 1.0), a partial overlap (one shared
+    5-gram run), a clean doc (0.0), and a too-short doc (absent)."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),                                   # exact copy
+            (2, "alpha beta gamma delta epsilon crocodile "
+                "hippopotamus giraffe elephant rhinoceros"),   # 1 shared 5-gram
+            (3, "one two three four five six seven eight"),    # clean
+            (4, "tiny doc"),                                   # < n words
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    out = D.ngram_contamination(corpus, bench, n=5, frac_threshold=0.2)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 has no 5-grams
+    assert got[1].n_sh == 6 and got[1].n_contam == 6
+    assert got[1].contam_frac == 1.0 and got[1].contaminated
+    assert got[2].n_sh == 6 and got[2].n_contam == 1
+    assert not got[3].contaminated and got[3].n_contam == 0
+    # policy boundary: 1/6 < 0.2 -> partial overlap NOT flagged here
+    assert not got[2].contaminated
