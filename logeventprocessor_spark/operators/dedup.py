@@ -151,6 +151,130 @@ def ngram_contamination(
     )
 
 
+def benchmark_shingle_hashes(
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+):
+    """Distinct word n-gram xxhash64 values of the evaluation/benchmark
+    set, as a SORTED int64 numpy array ready to broadcast.
+
+    The collect here is the point, not a shortcut: eval suites are MBs
+    while the corpus is TBs, so the scalable formulation ships the
+    benchmark's hash set to every executor once (the same role the
+    ``F.broadcast`` side plays in the batch ``ngram_contamination``
+    join) and the stream itself never shuffles. ``xxhash64`` is the
+    same JVM hash the gate applies per row, so membership-by-hash
+    equals membership-by-string up to a ~|bench|*2^-64 collision
+    probability."""
+    import numpy as np
+
+    rows = (
+        shingles(benchmark, id_col, text_col, n)
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+        .collect()
+    )
+    return np.sort(np.array([r.h for r in rows], dtype=np.int64))
+
+
+def stream_contamination_gate(
+    stream: DataFrame,
+    bench_hashes,
+    n: int = 5,
+    frac_threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """STREAMING benchmark-decontamination gate at ingest: every
+    incoming document gets (n_sh, n_contam, contam_frac, contaminated)
+    against a static eval set -- the streaming analog of
+    ``ngram_contamination``, pinned output-identical to it by test.
+
+    STATELESS by design: contamination against a FIXED benchmark needs
+    no cross-row memory, so there is no watermark state, no timer, and
+    no shuffle -- the gate composes in append mode ahead of any sink
+    at ingest rate. The per-row work splits at the usual boundary:
+    shingling + ``array_distinct`` + xxhash64 stay JVM-side (the same
+    ``_gram_array`` tokenizer the batch side and the DuckDB oracles
+    replicate), only ``array<long>`` hashes cross to Python, and
+    membership against the sorted broadcast benchmark array is one
+    vectorized ``np.searchsorted`` per Arrow batch via ``mapInPandas``.
+    The frac/flag arithmetic runs JVM-side AFTER the count so it is
+    expression-identical to the batch operator (no numpy-vs-Spark
+    rounding skew).
+
+    Rows with fewer than ``n`` words pass through with n_sh = 0 and a
+    NULL contam_frac (nothing to measure; the batch operator drops
+    them instead): a gate must emit a verdict for EVERY row so the
+    downstream filter owns the policy. mapInPandas drops the watermark
+    marker -- re-apply ``withWatermark`` after the gate if a stateful
+    op follows."""
+    sc = stream.sparkSession.sparkContext
+    bcast = sc.broadcast(bench_hashes)
+    toks, grams = _gram_array(text_col, n)
+    hashed = stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        F.when(
+            F.size(toks) >= n,
+            F.transform(F.array_distinct(grams), lambda s: F.xxhash64(s)),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("_sh"),
+    )
+
+    def gate(batches):
+        import numpy as np
+        import pandas as pd
+
+        bh = bcast.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lens = pdf["_sh"].map(len).to_numpy(dtype=np.int64)
+            if lens.sum() and len(bh):
+                flat = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in pdf["_sh"] if len(a)]
+                )
+                pos = np.searchsorted(bh, flat)
+                ok = pos < len(bh)
+                hit = np.zeros(len(flat), dtype=np.int64)
+                hit[ok] = (bh[pos[ok]] == flat[ok]).astype(np.int64)
+                csum = np.concatenate(([0], np.cumsum(hit)))
+                ends = np.cumsum(lens)
+                n_contam = csum[ends] - csum[ends - lens]
+            else:
+                n_contam = np.zeros(len(pdf), dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ts": pdf["ts"],
+                    "n_sh": lens,
+                    "n_contam": n_contam,
+                }
+            )
+
+    counted = hashed.mapInPandas(
+        gate, "doc_id long, ts timestamp, n_sh long, n_contam long"
+    )
+    frac = F.when(
+        F.col("n_sh") > 0, F.col("n_contam") / F.col("n_sh")
+    )
+    return counted.select(
+        "doc_id",
+        "ts",
+        "n_sh",
+        "n_contam",
+        F.round(frac, 6).alias("contam_frac"),
+        F.coalesce(
+            frac >= F.lit(frac_threshold), F.lit(False)
+        ).alias("contaminated"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,

@@ -636,3 +636,70 @@ def test_ngram_contamination_planted(spark):
     assert not got[3].contaminated and got[3].n_contam == 0
     # policy boundary: 1/6 < 0.2 -> partial overlap NOT flagged here
     assert not got[2].contaminated
+
+
+def test_stream_contamination_gate_matches_batch(spark, tmp_path):
+    """The streaming ingest gate is output-identical to the batch
+    ngram_contamination on the same docs (same tokenizer, same hash,
+    same JVM-side frac/flag expressions), and -- unlike the batch
+    operator -- passes too-short docs through with a NULL frac so the
+    downstream filter owns the policy for every row."""
+    import os
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, bench_text, "2024-03-01 10:00:00"),
+        (2, "alpha beta gamma delta epsilon crocodile "
+            "hippopotamus giraffe elephant rhinoceros", "2024-03-01 10:01:00"),
+        (3, "one two three four five six seven eight", "2024-03-01 10:02:00"),
+        (4, "tiny doc", "2024-03-01 10:03:00"),
+    ]
+    input_dir = str(tmp_path / "docs")
+    os.makedirs(input_dir)
+    pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "text": [r[1] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows]).astype("datetime64[us]"),
+        }
+    ).to_parquet(f"{input_dir}/a.parquet", index=False)
+
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    bh = D.benchmark_shingle_hashes(bench, n=5)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(input_dir)
+    q = (
+        D.stream_contamination_gate(stream, bh, n=5, frac_threshold=0.2)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(200)
+    got = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert set(got.index) == {1, 2, 3, 4}  # gate verdicts EVERY row
+    # short doc passes through unassessed, never flagged
+    assert got.loc[4, "n_sh"] == 0 and not got.loc[4, "contaminated"]
+    assert pd.isna(got.loc[4, "contam_frac"])
+    # measurable docs are cell-identical to the batch operator
+    corpus = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], ["doc_id", "text"]
+    )
+    batch = (
+        D.ngram_contamination(corpus, bench, n=5, frac_threshold=0.2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    cols = ["n_sh", "n_contam", "contam_frac", "contaminated"]
+    pd.testing.assert_frame_equal(
+        got.loc[[1, 2, 3], cols], batch[cols], check_dtype=False
+    )
