@@ -172,3 +172,44 @@ def with_repetition_ratio(
         df.withColumn("n_grams", F.when(F.size(toks) >= n, n_grams))
         .withColumn("rep_ratio", ratio)
     )
+
+
+# PII classes scrubbed before training. Ordered: earlier classes are
+# redacted BEFORE later ones are counted, so one span is attributed to
+# exactly one class (an email's host can look like an IPv4; a 3-2-4
+# SSN must not also count as a phone fragment). Patterns restrict
+# themselves to the regex subset with identical semantics in Java
+# (Spark) and RE2 (DuckDB): char classes, bounded repeats, \b -- no
+# lookaround, no backrefs.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: adds ``n_<class>`` counts
+    per PII class, ``pii_total``, and ``text_clean`` with every span
+    replaced by its ``<CLASS>`` token.
+
+    Pure column expressions (``regexp_count`` + ``regexp_replace``,
+    whole-stage codegen, one projection -- no shuffle, no Python), so
+    the scrub runs at scan speed and composes into the admission
+    pipeline ahead of any aggregation. Counts are taken on the
+    progressively-scrubbed text (class i counted after classes < i are
+    redacted) which makes the per-class attribution unambiguous and
+    lets DuckDB replicate it exactly with the same nested expressions.
+    """
+    cur = F.col(text_col)
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    total = None
+    for c in counts:
+        total = F.col(c) if total is None else total + F.col(c)
+    return df.withColumns(counts).withColumns(
+        {"pii_total": total, "text_clean": cur}
+    )

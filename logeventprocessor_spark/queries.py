@@ -932,6 +932,40 @@ def q_benchmark_decontamination(spark, sf_dir):
     return D.ngram_contamination(corpus, bench, n=5, frac_threshold=0.2)
 
 
+# Deterministic PII-laden rows planted next to the real documents so
+# the scrub query exercises every class and boundary (an email whose
+# host looks like an IPv4; an SSN adjacent to phones) regardless of
+# what the synthetic corpus happens to contain. Negative ids cannot
+# collide with driver doc_ids. Mirrored verbatim in the VALUES list of
+# the DuckDB oracle.
+PII_PLANTED = [
+    (-1, "contact john.doe@example.com or jane+tag@sub.domain.org for access"),
+    (-2, "ssn 123-45-6789 and phones 555-123-4567 or 555.987.6543"),
+    (-3, "hosts 10.0.0.1 and 192.168.100.250 reachable"),
+    (-4, "edge admin@192.168.1.1 visits 8.8.8.8 twice 8.8.8.8"),
+]
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over the documents table (plus planted PII rows):
+    per-class counts, total, and the md5 of the redacted text -- the
+    oracle recomputes the scrub with the same nested regex expressions
+    in DuckDB, so the hash pins every replaced span byte-for-byte.
+    Pure codegen'd projection, no shuffle (operators/text.py
+    with_pii_scrub)."""
+    planted = spark.createDataFrame(PII_PLANTED, "doc_id long, text string")
+    docs = _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
+    return Tx.with_pii_scrub(docs).select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        "pii_total",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     d = Tx.with_quality_score(_docs(spark, sf_dir))
     return d.select(
@@ -1346,6 +1380,51 @@ ORACLES: dict[str, str] = {
                strftime(date_trunc('minute', ts), '{TS_FMT_DUCK}') AS minute,
                min(event_id) AS first_event_id
         FROM events GROUP BY 1, 2, 3
+    """,
+    "pii_scrub": """
+        WITH planted(doc_id, text) AS (VALUES
+          (-1, 'contact john.doe@example.com or jane+tag@sub.domain.org for access'),
+          (-2, 'ssn 123-45-6789 and phones 555-123-4567 or 555.987.6543'),
+          (-3, 'hosts 10.0.0.1 and 192.168.100.250 reachable'),
+          (-4, 'edge admin@192.168.1.1 visits 8.8.8.8 twice 8.8.8.8')
+        ), ad AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM planted
+        ), s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                 regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g') AS t
+          FROM ad
+        ), s2 AS (
+          SELECT doc_id, n_email,
+                 len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+                 regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS t
+          FROM s1
+        ), s3 AS (
+          SELECT doc_id, n_email, n_ssn,
+                 len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phone,
+                 regexp_replace(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS t
+          FROM s2
+        ), s4 AS (
+          SELECT doc_id, n_email, n_ssn, n_phone,
+                 len(regexp_extract_all(t,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+                 regexp_replace(t,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '<IP>', 'g') AS t
+          FROM s3
+        )
+        SELECT doc_id,
+               CAST(n_email AS INTEGER) AS n_email,
+               CAST(n_ssn AS INTEGER) AS n_ssn,
+               CAST(n_phone AS INTEGER) AS n_phone,
+               CAST(n_ipv4 AS INTEGER) AS n_ipv4,
+               CAST(n_email + n_ssn + n_phone + n_ipv4 AS INTEGER) AS pii_total,
+               md5(t) AS clean_md5
+        FROM s4
     """,
     "props_k_stats": """
         SELECT event_type,
@@ -1819,5 +1898,7 @@ def build_queries() -> dict:
         # topk rotated out for round 5 (driver-green rounds 1-4;
         # window_funcs_events keeps ranking functions in-window)
         "topk_events_per_user": q_topk_events_per_user,
+        # new in round 5; rotate into the window next round
+        "pii_scrub": q_pii_scrub,
     }
     return qs

@@ -638,6 +638,34 @@ def test_ngram_contamination_planted(spark):
     assert not got[2].contaminated
 
 
+def test_pii_scrub_classes_and_attribution(spark):
+    """Each PII class is counted on the progressively-scrubbed text so
+    a span belongs to exactly one class: an SSN is not also a phone
+    fragment, an email whose host looks like an IPv4 is NOT an email
+    (no TLD letters) and survives to the IP pass, and the clean text
+    carries the class tokens."""
+    from logeventprocessor_spark.operators.text import with_pii_scrub
+    from logeventprocessor_spark.queries import PII_PLANTED
+
+    out = {
+        r.doc_id: r
+        for r in with_pii_scrub(
+            spark.createDataFrame(PII_PLANTED, "doc_id long, text string")
+        ).collect()
+    }
+    r1 = out[-1]  # two emails, nothing else
+    assert (r1.n_email, r1.n_ssn, r1.n_phone, r1.n_ipv4) == (2, 0, 0, 0)
+    assert r1.text_clean == "contact <EMAIL> or <EMAIL> for access"
+    r2 = out[-2]  # SSN consumed before the phone pass; 2 real phones
+    assert (r2.n_ssn, r2.n_phone, r2.n_ipv4) == (1, 2, 0)
+    assert "<SSN>" in r2.text_clean and r2.text_clean.count("<PHONE>") == 2
+    r3 = out[-3]
+    assert r3.n_ipv4 == 2 and r3.pii_total == 2
+    r4 = out[-4]  # admin@192.168.1.1 has no TLD -> ip, not email
+    assert (r4.n_email, r4.n_ipv4) == (0, 3)
+    assert r4.text_clean == "edge admin@<IP> visits <IP> twice <IP>"
+
+
 def test_stream_contamination_gate_matches_batch(spark, tmp_path):
     """The streaming ingest gate is output-identical to the batch
     ngram_contamination on the same docs (same tokenizer, same hash,
