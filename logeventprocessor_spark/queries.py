@@ -32,6 +32,7 @@ from logeventprocessor_spark.generator import (
     make_transcripts,
     transcripts_df,
 )
+from logeventprocessor_spark.operators import components as CC
 from logeventprocessor_spark.operators import dedup as D
 from logeventprocessor_spark.operators import multimodal as M
 from logeventprocessor_spark.operators import similarity as S
@@ -919,6 +920,19 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering over the documents table: the
+    n-gram Jaccard pair set (threshold 0.6, the registered
+    ngram_jaccard_pairs geometry) fed through iterative min-label
+    connected components (operators/components.py); every doc gets its
+    component id and a canonical flag, singletons included. The oracle
+    recomputes the same closure with a DuckDB recursive CTE over the
+    identical pair SQL."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.6)
+    return CC.dedup_clusters(docs, pairs)
+
+
 def q_benchmark_decontamination(spark, sf_dir):
     """Benchmark decontamination over the documents table: a
     deterministic slice (doc_id % 17 == 0) stands in for the held-out
@@ -1380,6 +1394,39 @@ ORACLES: dict[str, str] = {
                strftime(date_trunc('minute', ts), '{TS_FMT_DUCK}') AS minute,
                min(event_id) AS first_event_id
         FROM events GROUP BY 1, 2, 3
+    """,
+    "dedup_clusters": """
+        WITH RECURSIVE w AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words FROM documents
+        ), g AS (
+          SELECT DISTINCT doc_id,
+                 words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+          FROM w, UNNEST(range(1, len(words) - 1)) t(i)
+          WHERE len(words) >= 3
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), p AS (
+          SELECT doc_a, doc_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+        ), e AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION
+          SELECT doc_b, doc_a FROM p
+        ), r AS (
+          SELECT doc_id AS id, doc_id AS reach FROM documents
+          UNION
+          SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src
+        )
+        SELECT id AS doc_id, min(reach) AS comp_id,
+               (id = min(reach)) AS is_canonical
+        FROM r GROUP BY id
     """,
     "pii_scrub": """
         WITH planted(doc_id, text) AS (VALUES
@@ -1900,5 +1947,6 @@ def build_queries() -> dict:
         "topk_events_per_user": q_topk_events_per_user,
         # new in round 5; rotate into the window next round
         "pii_scrub": q_pii_scrub,
+        "dedup_clusters": q_dedup_clusters,
     }
     return qs

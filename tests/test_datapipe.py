@@ -638,6 +638,31 @@ def test_ngram_contamination_planted(spark):
     assert not got[2].contaminated
 
 
+def test_connected_components_transitive(spark):
+    """Min-label propagation merges multi-hop chains (A~B, B~C puts C
+    in A's component even with no direct A~C pair), leaves unrelated
+    clusters apart, and with a vertex table emits singletons as their
+    own canonical."""
+    from logeventprocessor_spark.operators.components import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 23)],
+        "doc_a long, doc_b long",
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20, 21, 22, 23]],
+        "doc_id long",
+    )
+    got = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+    assert {i: got[i].comp_id for i in got} == {
+        1: 1, 2: 1, 3: 1, 4: 1,     # 3-hop chain collapses to min id
+        5: 5,                        # singleton: own canonical
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+    assert {i for i in got if got[i].is_canonical} == {1, 5, 10, 20}
+
+
 def test_pii_scrub_classes_and_attribution(spark):
     """Each PII class is counted on the progressively-scrubbed text so
     a span belongs to exactly one class: an SSN is not also a phone
