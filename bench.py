@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "salted_agg_by_user",
     "ngram_jaccard_pairs",
     "benchmark_decontamination",
+    "dedup_clusters",
+    "pii_scrub",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "simhash_md5_pairs",
