@@ -176,9 +176,12 @@ def main():
                 with_context_join=True,
                 # join-state partitions sized to the per-trigger state
                 # volume, not the core count: stateful ops pay a FIXED
-                # per-partition store cost per batch (32 vs 8 at this
-                # SF: 24 s vs 5 s per batch -- see start_pipeline doc)
-                state_partitions=8,
+                # per-partition store cost per batch (measured: 32 vs 8
+                # on a ~1M-turn input = 24 s vs 5 s per batch; 8 vs 2
+                # on a 67K-turn input = 8.2 vs 4.5 s end-to-end,
+                # identical rows). ~120K turns per state partition,
+                # floor 2, cap 8 -- reproduces both measured optima.
+                state_partitions=max(2, min(8, n_turns // 120_000)),
             )
             q.awaitTermination(3600)
             shutil.rmtree(sdir, ignore_errors=True)
