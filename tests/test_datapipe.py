@@ -691,6 +691,41 @@ def test_pii_scrub_classes_and_attribution(spark):
     assert r4.text_clean == "edge admin@<IP> visits <IP> twice <IP>"
 
 
+def test_pii_scrub_composes_into_stream(spark, tmp_path):
+    """with_pii_scrub is a pure stateless projection, so the SAME
+    operator runs at streaming ingest with no variant code -- scrub
+    before anything persists."""
+    import os
+
+    from logeventprocessor_spark.operators.text import with_pii_scrub
+    from logeventprocessor_spark.queries import PII_PLANTED
+
+    input_dir = str(tmp_path / "docs")
+    os.makedirs(input_dir)
+    pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in PII_PLANTED], dtype="int64"),
+            "text": [r[1] for r in PII_PLANTED],
+        }
+    ).to_parquet(f"{input_dir}/a.parquet", index=False)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(input_dir)
+    q = (
+        with_pii_scrub(stream)
+        .drop("text")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(200)
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert len(got) == len(PII_PLANTED)
+    assert int(got["pii_total"].sum()) == 10  # 2+3+2+3 across planted rows
+    assert not got["text_clean"].str.contains("@example.com").any()
+
+
 def test_stream_contamination_gate_matches_batch(spark, tmp_path):
     """The streaming ingest gate is output-identical to the batch
     ngram_contamination on the same docs (same tokenizer, same hash,
