@@ -213,3 +213,22 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns(counts).withColumns(
         {"pii_total": total, "text_clean": cur}
     )
+
+
+# URL spans for web-corpus analysis; Java∩RE2 subset like PII_PATTERNS.
+URL_RE = r"https?://[A-Za-z0-9.-]+(/[^\s]*)?"
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def with_urls(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``urls array<string>`` (every http/https span, group 0)
+    and ``n_urls`` -- source-domain statistics are the first corpus
+    question a web-pipeline asks (provenance mix, per-domain caps,
+    blocklists). Pure column expressions."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+    return df.withColumns({"urls": urls, "n_urls": F.size(urls)})
+
+
+def domain_of(url_col) -> "F.Column":
+    """Lowercased host of a URL column value ('' if not a URL)."""
+    return F.lower(F.regexp_extract(url_col, URL_DOMAIN_RE, 1))

@@ -980,6 +980,36 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+# Deterministic URL-bearing rows planted next to the documents table
+# (the synthetic corpus has no URLs); mirrored in the oracle VALUES.
+URL_PLANTED = [
+    (-11, "see https://example.com/a and http://EXAMPLE.com/b?q=1 plus https://docs.example.org"),
+    (-12, "bare domain example.com is not a url but https://sub.tld-host.net/path/x.html is"),
+    (-13, "repeat https://example.com/a https://example.com/a trailing text"),
+]
+
+
+def q_top_url_domains(spark, sf_dir):
+    """Source-domain mix over the corpus: extract every http(s) URL,
+    reduce to its lowercased host, and count mentions + distinct docs
+    per domain -- the provenance profile a web pipeline computes before
+    per-domain caps/blocklists. Explode fans out only URL-bearing rows
+    (the corpus scan stays one pass); the domain aggregation is the
+    single shuffle."""
+    planted = spark.createDataFrame(URL_PLANTED, "doc_id long, text string")
+    docs = _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
+    u = Tx.with_urls(docs).filter(F.col("n_urls") > 0)
+    return (
+        u.select("doc_id", F.explode("urls").alias("url"))
+        .select("doc_id", Tx.domain_of(F.col("url")).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
 def q_text_quality(spark, sf_dir):
     d = Tx.with_quality_score(_docs(spark, sf_dir))
     return d.select(
@@ -1394,6 +1424,26 @@ ORACLES: dict[str, str] = {
                strftime(date_trunc('minute', ts), '{TS_FMT_DUCK}') AS minute,
                min(event_id) AS first_event_id
         FROM events GROUP BY 1, 2, 3
+    """,
+    "top_url_domains": """
+        WITH planted(doc_id, text) AS (VALUES
+          (-11, 'see https://example.com/a and http://EXAMPLE.com/b?q=1 plus https://docs.example.org'),
+          (-12, 'bare domain example.com is not a url but https://sub.tld-host.net/path/x.html is'),
+          (-13, 'repeat https://example.com/a https://example.com/a trailing text')
+        ), ad AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM planted
+        ), u AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text,
+                     'https?://[A-Za-z0-9.-]+(/[^\s]*)?', 0)) AS url
+          FROM ad
+        )
+        SELECT lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1))
+                 AS domain,
+               count(*) AS n_mentions,
+               count(DISTINCT doc_id) AS n_docs
+        FROM u GROUP BY domain
     """,
     "dedup_clusters": """
         WITH RECURSIVE w AS (
@@ -1948,5 +1998,6 @@ def build_queries() -> dict:
         # new in round 5; rotate into the window next round
         "pii_scrub": q_pii_scrub,
         "dedup_clusters": q_dedup_clusters,
+        "top_url_domains": q_top_url_domains,
     }
     return qs

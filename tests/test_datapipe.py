@@ -663,6 +663,26 @@ def test_connected_components_transitive(spark):
     assert {i for i in got if got[i].is_canonical} == {1, 5, 10, 20}
 
 
+def test_url_domain_extraction(spark):
+    """URL extraction catches full spans (query strings, paths),
+    ignores bare domains without a scheme, lowercases hosts, and
+    counts mentions vs distinct docs separately."""
+    import __spark_entry__ as e
+
+    got = {
+        r.domain: r
+        for r in e.queries()["top_url_domains"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    ec = got["example.com"]
+    # -11 has 2 (one uppercased host), -13 has 2 mentions in 1 doc
+    assert ec.n_mentions == 4 and ec.n_docs == 2
+    assert got["sub.tld-host.net"].n_mentions == 1
+    assert "tld-host.net" not in got  # host never truncated
+    assert got["docs.example.org"].n_docs == 1
+
+
 def test_pii_scrub_classes_and_attribution(spark):
     """Each PII class is counted on the progressively-scrubbed text so
     a span belongs to exactly one class: an SSN is not also a phone
