@@ -10,24 +10,32 @@ the reference is a CEP engine and has no analog -- this belongs to the
 training-data family of SURVEY.md 2.8).
 
 The component id is the MINIMUM doc id reachable through the pair
-graph, computed by iterative min-label propagation:
+graph. Each round does TWO label-shrinking steps:
 
-* each vertex starts labeled with itself;
-* each iteration every vertex takes the min of its own label and its
-  neighbors' labels (one edge join + one groupBy(id) shuffle);
-* converged when no label decreased -- needs `diameter` iterations,
-  and near-dup components are small and dense (diameter 1-3), so the
-  loop is short in practice.
+* **neighbor-min** (one edge join + one groupBy(id) shuffle): every
+  vertex takes the min of its own label and its neighbors' labels --
+  extends the hop horizon by one;
+* **pointer jumping** (one labels self-join on ``comp == id``): every
+  vertex then takes the label OF its current label
+  (``comp := min(comp, comp[comp])``) -- since the label table is
+  itself converging toward min-reachable ids, this step composes two
+  known paths and roughly DOUBLES the hop horizon each round.
 
-100 TB design: per iteration exactly ONE shuffle keyed on vertex id
+With the doubling step, convergence needs O(log diameter) rounds, not
+O(diameter) -- the same round bound as the alternating
+large-star/small-star scheme of Kiveris et al., "Connected Components
+in MapReduce and Beyond" (SoCC'14), which GraphFrames implements. A
+chain of 2^k vertices converges in ~k rounds; plain neighbor-min
+propagation alone would need 2^k rounds and is NOT what this runs.
+
+100 TB design: per iteration exactly two shuffles keyed on vertex id
 (high cardinality, no skew); the labels frame is eagerly
 ``localCheckpoint``-ed every round so the plan never grows with the
-iteration count (no 25-deep lineage for Catalyst to re-analyze); the
+iteration count (no deep lineage for Catalyst to re-analyze); the
 convergence test is a single cheap count() action per round -- the
-standard driver-side loop shape of iterative Spark algorithms
-(GraphX/GraphFrames' connectedComponents does the same alternation
-under the hood). The symmetrized edge list is localCheckpoint-ed once
-and reused by every iteration.
+standard driver-side loop shape of iterative Spark algorithms. The
+symmetrized edge list is localCheckpoint-ed once and reused by every
+iteration.
 """
 
 from __future__ import annotations
@@ -54,8 +62,11 @@ def connected_components(
 
     Raises after ``max_iter`` non-converged rounds rather than
     returning silently-partial components (a wrong canonical id drops
-    the WRONG document downstream; at the default 25 even a
-    pathological 2^25-vertex chain would have converged).
+    the WRONG document downstream). Because each round doubles the hop
+    horizon (neighbor-min + pointer jump), the default 25 covers any
+    component of diameter up to ~2^24 -- far beyond any physically
+    representable graph -- so hitting the RuntimeError indicates a bug,
+    not a long chain.
     """
     edges = pairs.select(
         F.col(src_col).cast("long").alias("src"),
@@ -75,18 +86,31 @@ def connected_components(
     labels = labels.distinct().withColumn("comp", F.col("id")).localCheckpoint()
 
     for _ in range(max_iter):
+        # Step 1: neighbor-min -- one-hop label exchange along edges.
         nbr_min = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy("dst")
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("dst", "id")
         )
+        hop = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+            ).alias("comp"),
+        )
+        # Step 2: pointer jump -- comp := min(comp, comp[comp]). Every
+        # label value is itself a vertex id, so look its label up in
+        # the same table; composing the two paths doubles the horizon.
+        comp_of = hop.select(
+            F.col("id").alias("c_id"), F.col("comp").alias("c_comp")
+        )
         new_labels = (
-            labels.join(nbr_min, "id", "left")
+            hop.join(comp_of, hop["comp"] == comp_of["c_id"], "left")
             .select(
                 "id",
                 F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                    F.col("comp"), F.coalesce("c_comp", F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint()

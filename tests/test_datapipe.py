@@ -663,6 +663,27 @@ def test_connected_components_transitive(spark):
     assert {i for i in got if got[i].is_canonical} == {1, 5, 10, 20}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """A 60-vertex path (diameter 59) converges in <=8 rounds. Plain
+    one-hop min-label propagation needs 59 rounds and would raise at
+    max_iter=8; the pointer-jumping step doubles the hop horizon per
+    round, so log2(60) ~ 6 rounds suffice. Guards the O(log d) bound
+    the operator's 100 TB story depends on (template-mutation chains
+    in web corpora routinely exceed 25 hops)."""
+    from logeventprocessor_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.id: r.comp
+        for r in connected_components(pairs, max_iter=8).collect()
+    }
+    assert got == {i: 0 for i in range(60)}
+
+
 def test_url_domain_extraction(spark):
     """URL extraction catches full spans (query strings, paths),
     ignores bare domains without a scheme, lowercases hosts, and
