@@ -191,6 +191,28 @@ def main():
         timings["cep_streaming_ctx_pipeline"] = med
         spread["cep_streaming_ctx_pipeline"] = xs
         throughput["stream_ctx_turns_per_sec"] = round(n_turns / med, 1)
+
+        # --- same-turn context via carry-through (role/tool ride the
+        # match operator's Arrow boundary; no second scan, no join
+        # state) -- pinned output-identical to the join variant by
+        # tests/test_streaming.py; this line measures what the
+        # stream-stream join costs OVER the scale-safe plan ---
+        def stream_ctx_carry_once():
+            sdir = tempfile.mkdtemp(prefix="bench_scarry_", dir=tmp)
+            q, _ = start_pipeline(
+                spark, f"{tmp}/turns", rules,
+                out_dir=f"{sdir}/out", checkpoint_dir=f"{sdir}/ckpt",
+                watermark="10 minutes", max_files_per_trigger=None,
+                with_context_join=True, context_mode="carry",
+            )
+            q.awaitTermination(3600)
+            shutil.rmtree(sdir, ignore_errors=True)
+
+        stream_ctx_carry_once()
+        med, xs = _median_runs(stream_ctx_carry_once, N_PIPE_RUNS)
+        timings["cep_streaming_ctx_carry_pipeline"] = med
+        spread["cep_streaming_ctx_carry_pipeline"] = xs
+        throughput["stream_ctx_carry_turns_per_sec"] = round(n_turns / med, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -42,6 +42,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from logeventprocessor_spark.rules import Rule
 from logeventprocessor_spark.schema import MATCHES_SCHEMA
@@ -183,7 +184,7 @@ def _compiled(payload: tuple) -> list:
     return got
 
 
-def _arrow_match_batches(batches, compiled):
+def _arrow_match_batches(batches, compiled, carry_cols=()):
     """Match a stream of Arrow RecordBatches against a compiled rule
     list, STAYING in Arrow except for candidate rows.
 
@@ -255,11 +256,16 @@ def _arrow_match_batches(batches, compiled):
                     pa.array(extracted, pa.string()),
                     pc.take(text, idx),
                     pc.take(ncol["ts"], idx),
-                ],
+                ]
+                # same-turn context rides the boundary for free: one
+                # zero-copy pc.take per carried column, no second
+                # source scan and no join state (round-5 verdict #4)
+                + [pc.take(ncol[c], idx) for c in carry_cols],
                 names=[
                     "conv_id", "turn_idx", "rule_id", "rule_idx",
                     "extracted", "text", "ts",
-                ],
+                ]
+                + list(carry_cols),
             )
 
 
@@ -304,10 +310,20 @@ def _match_batch(pdf: pd.DataFrame, compiled: list) -> pd.DataFrame | None:
 
 
 def match_turns(
-    turns: DataFrame, rules: list[Rule], ipc_meter=None
+    turns: DataFrame,
+    rules: list[Rule],
+    ipc_meter=None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """turns(conv_id, turn_idx, text, ts, ...) -> MATCHES_SCHEMA rows
     (Arrow-native mapInArrow -- see ``_arrow_match_batches``).
+
+    ``carry_cols``: extra input columns appended verbatim to every
+    match row (one zero-copy ``pc.take`` each). For SAME-turn context
+    (role/tool of the matched turn) this replaces the T5 stream-stream
+    join entirely -- no second source scan, no join state stores --
+    and is the scale-safe plan; the true stream-stream join remains
+    the operator for CROSS-turn enrichment.
 
     ``ipc_meter``: optional 4-tuple of Spark accumulators
     (in_bytes, in_rows, out_bytes, out_rows) that tallies the Arrow
@@ -327,9 +343,11 @@ def match_turns(
     """
     payload = _rules_payload(rules)
 
+    carry = tuple(carry_cols)
+
     if ipc_meter is None:
         def fn(batches):
-            yield from _arrow_match_batches(batches, _compiled(payload))
+            yield from _arrow_match_batches(batches, _compiled(payload), carry)
     else:
         acc_ib, acc_ir, acc_ob, acc_or = ipc_meter
 
@@ -340,17 +358,26 @@ def match_turns(
                     acc_ir.add(rb.num_rows)
                     yield rb
 
-            for ob in _arrow_match_batches(metered(batches), _compiled(payload)):
+            for ob in _arrow_match_batches(
+                metered(batches), _compiled(payload), carry
+            ):
                 acc_ob.add(ob.nbytes)
                 acc_or.add(ob.num_rows)
                 yield ob
 
     cols = [c for c in ("conv_id", "turn_idx", "text", "ts") if c in turns.columns]
+    cols += [c for c in carry if c not in cols]
     src = turns.select(*cols)
     cond = prefilter_condition(rules)
     if cond is not None:
         src = src.filter(cond)
-    return src.mapInArrow(fn, schema=MATCHES_SCHEMA)
+    out_schema = MATCHES_SCHEMA
+    if carry:
+        out_schema = T.StructType(
+            list(MATCHES_SCHEMA.fields)
+            + [src.schema[c] for c in carry]
+        )
+    return src.mapInArrow(fn, schema=out_schema)
 
 
 def prefilter_condition(rules: list[Rule]):

@@ -41,20 +41,27 @@ def fan_out(df: DataFrame, mode: str | None = None) -> DataFrame:
 
     Deliberately does NOT probe ``df.rdd.getNumPartitions()`` -- that
     forces plan analysis + an RDD conversion on the driver for every
-    query *construction*.  The decision is taken from ``mode`` (or the
-    session conf ``spark.logep.fanOut.mode``):
+    query *construction*.  The decision is taken from ``mode``, else
+    the session conf ``spark.logep.fanOut.mode``, else the master URL:
 
-    - ``"always"`` (default): round-robin repartition to
-      ``defaultParallelism``. Right for local/bench runs where inputs
-      are a handful of small files; at bench scale this matches the
-      old probing behavior exactly (file splits < cores).
+    - ``"always"``: round-robin repartition to ``defaultParallelism``.
+      Right for local/bench runs where inputs are a handful of small
+      files (file splits < cores).
     - ``"never"``: pass through. Right for a real cluster whose scan
       already yields >= cluster-parallelism splits -- repartitioning
       100 TB of text just to reshape would be a pure-cost shuffle.
+
+    When neither ``mode`` nor the conf is set, a ``local[...]`` /
+    ``local-cluster[...]`` master implies ``always`` and anything else
+    (yarn, k8s, standalone) implies ``never`` -- the safe behavior is
+    the default at real scale and local runs need no configuration.
     """
     spark = df.sparkSession
     if mode is None:
-        mode = spark.conf.get("spark.logep.fanOut.mode", "always")
+        mode = spark.conf.get("spark.logep.fanOut.mode", "")
+        if not mode:
+            master = spark.conf.get("spark.master", "")
+            mode = "always" if master.startswith("local") else "never"
     if mode == "never":
         return df
     return df.repartition(spark.sparkContext.defaultParallelism)
@@ -232,3 +239,44 @@ def with_urls(df: DataFrame, text_col: str = "text") -> DataFrame:
 def domain_of(url_col) -> "F.Column":
     """Lowercased host of a URL column value ('' if not a URL)."""
     return F.lower(F.regexp_extract(url_col, URL_DOMAIN_RE, 1))
+
+
+def cap_docs_per_domain(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "domain",
+    order_col: str = "quality_score",
+    id_col: str = "doc_id",
+    n_salt: int = 32,
+) -> DataFrame:
+    """Per-domain document cap -- the policy step after the provenance
+    profile (``top_url_domains``): keep the top ``cap`` documents per
+    domain by ``order_col`` (ties broken by ascending ``id_col``, so
+    the kept set is deterministic). Adds ``rn`` (1-based rank within
+    the domain).
+
+    100 TB design: a naive ``row_number() over (partition by domain)``
+    puts a mega-domain's ENTIRE row set in one task (web corpora are
+    Zipfian -- the head domain can be 1%+ of the corpus). Phase 1
+    prunes under a SALTED key first: within each (domain, salt mod
+    ``n_salt``) bucket only the local top-``cap`` survive, bounding any
+    domain to ``n_salt * cap`` rows before the global window in phase 2
+    computes exact ranks. The global top-``cap`` of a domain is a
+    subset of the union of its buckets' top-``cap``, so the result is
+    identical to the single-window plan."""
+    from pyspark.sql import Window
+
+    order = [F.desc(order_col), F.asc(id_col)]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+    )
+    w1 = Window.partitionBy(domain_col, "_salt").orderBy(*order)
+    pruned = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= cap)
+        .drop("_salt", "_rn1")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(*order)
+    return pruned.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= cap
+    )

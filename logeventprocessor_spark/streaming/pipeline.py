@@ -407,10 +407,17 @@ def stream_sequence_detect_all(
             # a replayed B reaches this operator only while its event
             # time is >= the watermark (Spark drops later replays
             # upstream of stateful ops), so the replay guard only needs
-            # entries inside the horizon; same newest-first skew cap
+            # entries inside the horizon -- watermark eviction alone
+            # bounds it. The cap is a last-resort skew guard and is
+            # deliberately MUCH larger than max_as (the guard list is
+            # two ints per B vs a recall contract for the A buffer): a
+            # conv that emits more than 16*max_as B's inside one
+            # watermark horizon can see duplicate pairs re-emitted for
+            # its evicted (oldest) B's under at-least-once replay --
+            # an explicit bounded-memory/exactness trade, newest wins
             b_done = [b for b in b_done if b[0] >= wm_ns]
             b_done.sort(key=lambda b: b[0])
-            b_done = b_done[-max_as:]
+            b_done = b_done[-16 * max_as:]
         if buf or b_done:
             state.update(
                 (
@@ -659,21 +666,36 @@ def start_pipeline(
     state_store: str | None = None,
     cooldown_backend: str = "snapshot",
     with_context_join: bool = False,
+    context_mode: str = "join",
     ipc_meter=None,
     state_partitions: int | None = None,
 ):
     """Wire the full query and start it. Returns (query, sink).
 
-    ``with_context_join`` (snapshot backend only): interpose the T5
-    watermarked stream-stream join (``stream_join_context``) between
-    match and cooldown, so every sink row carries the turn's role/tool
-    context. The context side is a SECOND scan of the source stream --
-    the inherent price of a true stream-stream join (both sides buffer
-    keyed state inside the join window); measured as its own bench
-    line (``cep_streaming_ctx_pipeline``). The cooldown gate still
-    sees pure MATCHES_SCHEMA rows (role/tool are split off inside the
-    micro-batch and re-attached after step expansion), so suppression
-    semantics are pinned identical to the plain pipeline.
+    ``with_context_join`` (snapshot backend only): every sink row
+    carries the turn's role/tool context, via one of two plans
+    (``context_mode``), pinned output-identical by
+    tests/test_streaming_extras.py:
+
+    * ``"join"``: the T5 watermarked stream-stream join
+      (``stream_join_context``) between match and cooldown. The
+      context side is a SECOND scan of the source stream -- the
+      inherent price of a true stream-stream join (both sides buffer
+      keyed state inside the join window); measured as its own bench
+      line (``cep_streaming_ctx_pipeline``). This is the GENERAL T5
+      operator: use it when the context comes from a DIFFERENT turn
+      or stream (cross-turn enrichment).
+    * ``"carry"``: the matched turn's own role/tool ride through the
+      match operator's Arrow boundary (``match_turns(carry_cols=...)``,
+      one zero-copy ``pc.take`` per column) -- no second scan, no join
+      state stores, no extra shuffle. For SAME-turn context this is
+      the scale-safe plan (round-5 verdict #4); bench line
+      ``cep_streaming_ctx_carry_pipeline``.
+
+    Either way the cooldown gate still sees pure MATCHES_SCHEMA rows
+    (role/tool are split off inside the micro-batch and re-attached
+    after step expansion), so suppression semantics are pinned
+    identical to the plain pipeline.
 
     ``state_partitions``: shuffle-partition count pinned into THIS
     query's checkpoint at first start (Spark reads the session conf at
@@ -728,8 +750,14 @@ def start_pipeline(
         if late_cutoff is not None:
             stream = stream.filter(F.col("ts") >= F.lit(late_cutoff))
         enabled = [r for r in rules if r.enabled]
-        matched = match_turns(stream, enabled, ipc_meter=ipc_meter)
-        if with_context_join:
+        carry_ctx = with_context_join and context_mode == "carry"
+        matched = match_turns(
+            stream,
+            enabled,
+            ipc_meter=ipc_meter,
+            carry_cols=("role", "tool") if carry_ctx else (),
+        )
+        if with_context_join and context_mode == "join":
             from logeventprocessor_spark.operators.match import (
                 prefilter_condition,
             )

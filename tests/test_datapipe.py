@@ -684,6 +684,41 @@ def test_connected_components_long_chain_log_rounds(spark):
     assert got == {i: 0 for i in range(60)}
 
 
+def test_cap_docs_per_domain_matches_naive_window(spark):
+    """The salted two-phase top-N (skew-safe plan) must equal the
+    naive single-window row_number plan, including tie-breaks, and
+    respect the cap per domain."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from logeventprocessor_spark.operators import text as Tx
+
+    rows = [
+        # one "mega" domain with 7 docs incl. score ties, two small
+        ("big.com", i, s)
+        for i, s in enumerate([0.9, 0.7, 0.9, 0.4, 0.7, 1.0, 0.7])
+    ] + [("tiny.org", 100, 0.5), ("mid.net", 200, 0.3), ("mid.net", 201, 0.8)]
+    df = spark.createDataFrame(
+        rows, "domain string, doc_id long, quality_score double"
+    )
+    got = (
+        Tx.cap_docs_per_domain(df, cap=3, n_salt=4)
+        .select("domain", "doc_id", "rn")
+        .collect()
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    exp = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("domain", "doc_id", "rn")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert sorted(r.doc_id for r in got if r.domain == "big.com") == [0, 2, 5]
+
+
 def test_url_domain_extraction(spark):
     """URL extraction catches full spans (query strings, paths),
     ignores bare domains without a scheme, lowercases hosts, and
