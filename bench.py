@@ -106,6 +106,43 @@ def _median_runs(fn, n: int) -> tuple[float, list[float]]:
     return round(statistics.median(xs), 3), [round(x, 3) for x in xs]
 
 
+def _host_probe(dur: float = 4.0) -> float:
+    """Host-health stamp (round-5 verdict task #6): single-process
+    Arrow IPC serialize+deserialize of a text-heavy RecordBatch -- the
+    exact shape of the match boundary's traffic -- for ~``dur`` s;
+    returns rows/s. Run before AND after the bench loop and recorded in
+    the summary, so a degraded-host window (measured 2-3x swings on
+    this machine) is visible in the artifact instead of masquerading as
+    a code regression. Cross-round comparisons should be refused when
+    probes disagree >20% (scripts/compare_bench.py enforces this)."""
+    import pyarrow as pa
+
+    n = 100_000
+    texts = [
+        f"user turn {i} please run tool search with query q{i % 97} and report"
+        for i in range(n)
+    ]
+    b = pa.record_batch(
+        [
+            pa.array([f"c{i % 5000}" for i in range(n)]),
+            pa.array(list(range(n)), pa.int32()),
+            pa.array(texts),
+        ],
+        names=["conv_id", "turn_idx", "text"],
+    )
+    rows = 0
+    t_end = time.time() + dur
+    t0 = time.time()
+    while time.time() < t_end:
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, b.schema) as w:
+            w.write_batch(b)
+        with pa.ipc.open_stream(sink.getvalue()) as r:
+            for rb in r:
+                rows += rb.num_rows
+    return round(rows / (time.time() - t0), 1)
+
+
 def main():
     spark = get_spark(
         "bench", master=f"local[{CPUS}]",
@@ -121,6 +158,7 @@ def main():
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     throughput: dict[str, float] = {}
+    probe_before = _host_probe()
     t_total = time.time()
 
     # --- CEP batch pipeline on the generated transcript stream ---
@@ -225,6 +263,42 @@ def main():
 
     total = round(time.time() - t_total, 3)
     value = round(sum(timings.values()), 3)
+    probe_after = _host_probe()
+    # rolling history -> a run is flagged when its probe deviates >20%
+    # from the median of prior runs (or before/after disagree >20%):
+    # such a run's timings must not ground cross-round conclusions
+    probe = {
+        "arrow_rows_per_s_before": probe_before,
+        "arrow_rows_per_s_after": probe_after,
+    }
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        hist_path = "BENCH/host_probe_history.json"
+        hist = []
+        if os.path.exists(hist_path):
+            with open(hist_path) as f:
+                hist = json.load(f)
+        prior = [h for rec in hist for h in
+                 (rec["arrow_rows_per_s_before"], rec["arrow_rows_per_s_after"])]
+        if prior:
+            ref = statistics.median(prior)
+            probe["rolling_median"] = round(ref, 1)
+            probe["flagged"] = bool(
+                abs(probe_before - ref) / ref > 0.2
+                or abs(probe_after - ref) / ref > 0.2
+                or abs(probe_after - probe_before)
+                / max(probe_before, probe_after) > 0.2
+            )
+        else:
+            probe["flagged"] = abs(probe_after - probe_before) / max(
+                probe_before, probe_after
+            ) > 0.2
+        hist.append({**probe, "sf": _SF, "cpus": CPUS, "wall": total,
+                     "ts": time.time()})
+        with open(hist_path, "w") as f:
+            json.dump(hist[-50:], f, indent=1)
+    except OSError:
+        probe["flagged"] = None  # read-only cwd: no history available
     # spread (per-query run lists) goes on its OWN earlier line + a side
     # file: round-3 verdict "what's wrong #1" -- folding it into the
     # summary line outgrew the driver's tail capture and left
@@ -251,6 +325,7 @@ def main():
                 "runs_per_query": N_QUERY_RUNS,
                 "runs_per_pipeline": N_PIPE_RUNS,
                 "loop_wall": total,
+                "host_probe": probe,
             }
         )
     )

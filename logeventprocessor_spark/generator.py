@@ -48,6 +48,9 @@ _PLANTS = [
     "[ERROR] disk temperature critical",
     "User login: user{i}@example.com confirmed",
     "Gandalf tells you, 'fly you fools'",
+    # 6+ digit runs for the no-literal pin_code rule ([0-9]{6}):
+    # leftmost-6 extraction varies with {i}
+    "access code 7{i}5309 granted",
 ]
 
 _WORDS = ["cruel", "brave", "new", "small", "wide"]
@@ -185,6 +188,7 @@ def make_transcripts_fast(
         # second hot (cooldown) rule: keeps BOTH cooldown chains live
         # at bench scale, mirroring the fixture corpus
         "rate limit exceeded on search_api",
+        # (the no-literal pin_code plant arrives via _PLANTS expansion)
     ]
     pool = np.array(_FILLER * 3 + plants, dtype=object)
     is_plant = turn_idx % 5 == 2

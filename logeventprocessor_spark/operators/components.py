@@ -71,7 +71,11 @@ def connected_components(
     edges = pairs.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
-    )
+    ).localCheckpoint(eager=False)
+    # checkpoint BEFORE the symmetrizing union: Spark evaluates each
+    # union branch independently (no common-subexpression sharing), so
+    # an un-materialized pair plan -- often a full near-dup pair
+    # generation subtree -- would run TWICE
     edges = (
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

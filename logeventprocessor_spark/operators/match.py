@@ -380,22 +380,92 @@ def match_turns(
     return src.mapInArrow(fn, schema=out_schema)
 
 
+_SAFE_CLASS_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 _-"
+)
+_SAFE_LIT_CHARS = _SAFE_CLASS_CHARS | frozenset(":;,'%/@!# ")
+
+
+def _safe_jvm_pattern(pattern: str) -> bool:
+    """True only for patterns inside a TINY, provably dialect-identical
+    regex subset: literal ASCII chars, '.', simple character classes of
+    literals/ranges, and greedy quantifiers ``* + ? {m} {m,n}``. On
+    this subset Java regex (``RLIKE``), RE2, and Python ``re`` agree on
+    unanchored case-insensitive search semantics, so such a pattern can
+    serve as its own JVM-side candidate prefilter when no required
+    literal is provable (e.g. ``[0-9]{6}``). Anything else (escapes,
+    groups, alternation, anchors, lookaround, negated classes) returns
+    False -- the prefilter must never produce a false NEGATIVE, so when
+    unsure the rule simply contributes no pruning."""
+    i, n = 0, len(pattern)
+    prev_atom = False
+    while i < n:
+        c = pattern[i]
+        if c in _SAFE_LIT_CHARS or c == ".":
+            prev_atom = True
+            i += 1
+        elif c == "[":
+            j = pattern.find("]", i + 1)
+            if j < 0:
+                return False
+            body = pattern[i + 1 : j]
+            if not body or body[0] == "^":
+                return False
+            if any(ch not in _SAFE_CLASS_CHARS for ch in body):
+                return False
+            prev_atom = True
+            i = j + 1
+        elif c == "{":
+            j = pattern.find("}", i + 1)
+            if j < 0 or not prev_atom:
+                return False
+            if not re.fullmatch(r"\d+(,\d*)?", pattern[i + 1 : j]):
+                return False
+            prev_atom = False
+            i = j + 1
+        elif c in "*+?":
+            if not prev_atom:
+                return False
+            prev_atom = False
+            i += 1
+        else:
+            return False
+    return n > 0
+
+
 def prefilter_condition(rules: list[Rule]):
-    """The JVM-side codegen'd candidate filter as a Column (OR of
-    ``contains(lower(text), literal)`` over every enabled rule's
-    provable required literal), or None when some rule has no literal.
+    """The JVM-side codegen'd candidate filter as a Column: OR over
+    every enabled rule of either ``contains(lower(text), literal)``
+    (when a required literal is provable -- the cheap substring scan)
+    or ``text RLIKE pattern`` (when the pattern itself sits in the
+    dialect-identical safe subset of ``_safe_jvm_pattern``, e.g. a pure
+    character-class rule like ``[0-9]{6}`` that has no literal).
+    Returns None when some rule admits neither -- then no JVM pruning
+    is possible and every row crosses the Arrow boundary.
     A row failing this cannot match ANY rule -- so it gates the Arrow
     boundary in ``match_turns`` and equally prunes the CONTEXT side of
     the stream-stream join (a turn that cannot match never needs its
     role/tool buffered in join state)."""
     payload = _rules_payload(rules)
-    lits = {prefilter_literal(p) for (_, _, p) in payload}
-    if not payload or None in lits:
+    if not payload:
         return None
+    lits = set()
+    rlikes = set()
+    for (_, _, p) in payload:
+        lit = prefilter_literal(p)
+        if lit is not None:
+            lits.add(lit)
+        elif _safe_jvm_pattern(p):
+            rlikes.add(p)
+        else:
+            return None
     low = F.lower(F.col("text"))
     cond = None
     for lit in sorted(lits):
         c = low.contains(F.lit(lit))
+        cond = c if cond is None else (cond | c)
+    for pat in sorted(rlikes):
+        c = F.col("text").rlike(f"(?i){pat}")
         cond = c if cond is None else (cond | c)
     return F.coalesce(cond, F.lit(False))
 

@@ -257,6 +257,21 @@ def canonical_rules() -> list[Rule]:
             cooldown_ms=4000,
             steps=(RuleStep(0, "command", "throttle #"),),
         ),
+        # NO-LITERAL rule (round-5 verdict task #9): a pure
+        # character-class pattern defeats the literal prefilter
+        # (prefilter_literal -> None), so the flagship corpus now
+        # exercises the per-rule pandas fallback inside the match
+        # operator end to end, not only in unit tests. The JVM-side
+        # candidate gate survives via the safe-subset RLIKE branch of
+        # prefilter_condition (the pattern is dialect-identical in
+        # Java, RE2, and Python re). extracted = group(0), the leftmost
+        # 6-digit run.
+        Rule(
+            "pin_code",
+            9,
+            r"[0-9]{6}",
+            steps=(RuleStep(0, "command", "redact #"),),
+        ),
     ]
     return validate_rules(rules)
 

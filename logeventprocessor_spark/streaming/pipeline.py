@@ -472,6 +472,26 @@ def drop_empty_turns(stream: DataFrame) -> DataFrame:
     return stream.filter(F.length(F.trim(F.col("text"))) > 0)
 
 
+def scrub_stream_text(stream: DataFrame) -> DataFrame:
+    """Ingest-time PII redaction: REPLACE the turn's text with its
+    scrubbed form (operators/text.with_pii_scrub -- pure codegen'd
+    regexp_replace projection, no state, no shuffle) before any match,
+    join, or sink, so raw PII never reaches rule extraction, rendered
+    action values, or stored action rows. Stateless like the
+    contamination gate, so the streaming and batch forms are the same
+    expression -- parity pinned by
+    tests/test_streaming_extras.py::test_pii_scrub_ingest_pipeline.
+    Works on batch frames too (used there as the batch truth)."""
+    from logeventprocessor_spark.operators.text import with_pii_scrub
+
+    cols = stream.columns
+    return (
+        with_pii_scrub(stream)
+        .withColumn("text", F.col("text_clean"))
+        .select(*cols)
+    )
+
+
 def stream_join_context(
     matches: DataFrame,
     turns: DataFrame,
@@ -667,10 +687,16 @@ def start_pipeline(
     cooldown_backend: str = "snapshot",
     with_context_join: bool = False,
     context_mode: str = "join",
+    pii_scrub: bool = False,
     ipc_meter=None,
     state_partitions: int | None = None,
 ):
     """Wire the full query and start it. Returns (query, sink).
+
+    ``pii_scrub``: redact PII at INGEST (``scrub_stream_text``) so no
+    raw PII reaches rule extraction, rendered values, or the sink --
+    note this changes match semantics by design (a rule extracting an
+    email no longer fires once the email is a ``<EMAIL>`` token).
 
     ``with_context_join`` (snapshot backend only): every sink row
     carries the turn's role/tool context, via one of two plans
@@ -737,6 +763,8 @@ def start_pipeline(
             "RocksDBStateStoreProvider",
         )
     stream = read_transcripts_stream(spark, input_dir, max_files_per_trigger)
+    if pii_scrub:
+        stream = scrub_stream_text(stream)
     sink = ParquetUpsertSink(out_dir)
 
     if cooldown_backend == "snapshot":
@@ -765,6 +793,10 @@ def start_pipeline(
             ctx_src = read_transcripts_stream(
                 spark, input_dir, max_files_per_trigger
             )
+            if pii_scrub:
+                # the context side must see the same scrubbed text the
+                # match side prefilters on
+                ctx_src = scrub_stream_text(ctx_src)
             if late_cutoff is not None:
                 ctx_src = ctx_src.filter(F.col("ts") >= F.lit(late_cutoff))
             # the context side only exists to serve MATCHED turns, and

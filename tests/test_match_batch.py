@@ -51,6 +51,43 @@ def test_no_cooldown_matches_oracle(spark):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_prefilter_tiers_and_none_path_end_to_end(spark):
+    """The three prefilter tiers, each against the pure-Python oracle:
+    (1) canonical v3 rules include the no-literal pin_code rule, so the
+    JVM gate must take the safe-subset RLIKE branch (condition stays
+    non-None) while the Python side uses the pandas fallback for that
+    rule; (2) adding a Python-only pattern ((?P<...>) is a Java syntax
+    error) forces prefilter_condition to None -- every row crosses the
+    boundary -- and the full pipeline must STILL match the oracle
+    exactly (round-5 verdict task #9)."""
+    from logeventprocessor_spark.operators.match import (
+        prefilter_condition,
+        prefilter_literal,
+    )
+    from logeventprocessor_spark.rules import Rule, RuleStep
+
+    rules = canonical_rules()
+    assert any(prefilter_literal(r.pattern) is None for r in rules)
+    assert prefilter_condition(rules) is not None  # RLIKE branch holds
+
+    pyonly = Rule(
+        "py_only",
+        10,
+        r"(?P<word>minions|fools)",
+        steps=(RuleStep(0, "command", "saw #"),),
+    )
+    rules_none = rules + [pyonly]
+    assert prefilter_condition(rules_none) is None
+
+    pdf = make_transcripts(n_convs=12, seed=7)
+    turns = transcripts_df(spark, pdf)
+    got = _norm(match_actions(turns, rules_none, with_cooldown=True).toPandas())
+    exp = _norm(oracle_matches(pdf, rules_none, with_cooldown=True))
+    assert (exp.rule_id == "py_only").sum() > 0
+    assert (exp.rule_id == "pin_code").sum() > 0
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_sql_variant_agrees_with_udf_variant(spark):
     """RLIKE/regexp_extract plan == pandas-UDF plan on the canonical
     corpus (dialect parity pin, SURVEY.md 7.4)."""

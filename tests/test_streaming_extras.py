@@ -354,6 +354,82 @@ def test_multi_table_ack_sink(spark, stream_input, tmp_path):
     assert set(acks["status"]) == {"ack"}
 
 
+def test_pii_scrub_ingest_pipeline(spark, tmp_path):
+    """Ingest -> PII scrub -> match -> cooldown -> sink, exactly-once:
+    the sink must equal the BATCH pipeline run over the same scrubbed
+    frame, rendered action values must carry the redaction tokens (not
+    the raw PII), and a rule that extracts an email must stop firing
+    once the email is scrubbed pre-match (round-5 verdict task #7)."""
+    import pandas as _pd
+
+    from logeventprocessor_spark.generator import transcripts_df
+    from logeventprocessor_spark.pipeline import match_actions
+    from logeventprocessor_spark.rules import canonical_rules
+    from logeventprocessor_spark.streaming.pipeline import (
+        scrub_stream_text,
+        start_pipeline,
+    )
+
+    pdf = make_transcripts(n_convs=6, seed=7).copy()
+    # plant PII in turns that match rules: sms_tell renders the full
+    # turn text (K3); user_login EXTRACTS the email itself
+    pdf.loc[pdf.index[0], "text"] = (
+        "Zork tells you, 'mail john.doe@example.com at 10.0.0.1'"
+    )
+    pdf.loc[pdf.index[1], "text"] = "User login: jane@corp.example.org ok"
+    input_dir = str(tmp_path / "input")
+    write_transcripts_parquet(pdf, input_dir, n_files=2)
+    rules = canonical_rules()
+
+    q, sink = start_pipeline(
+        spark, input_dir, rules,
+        out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+        pii_scrub=True,
+    )
+    q.awaitTermination(300)
+    got = sink.read(spark).toPandas()
+
+    # batch truth: the SAME scrub expression over the batch frame
+    exp = match_actions(
+        scrub_stream_text(transcripts_df(spark, pdf)), rules,
+        with_cooldown=True,
+    ).toPandas()
+    key = ["conv_id", "turn_idx", "rule_id", "step_idx"]
+    cmp = key + ["extracted", "action_type", "rendered_value"]
+
+    def norm(p):
+        out = p[cmp].copy()
+        out["turn_idx"] = out["turn_idx"].astype("int64")
+        out["step_idx"] = out["step_idx"].astype("int64")
+        return out.sort_values(cmp, kind="mergesort").reset_index(drop=True)
+
+    _pd.testing.assert_frame_equal(norm(got), norm(exp))
+
+    blob = " ".join(
+        got[c].astype(str).str.cat(sep=" ")
+        for c in ("extracted", "rendered_value")
+    )
+    assert "john.doe@example.com" not in blob
+    assert "jane@corp.example.org" not in blob
+    assert "10.0.0.1" not in blob
+    sms = got[(got.rule_id == "sms_tell") & (got.turn_idx == 0)]
+    assert len(sms) == 1
+    assert "<EMAIL>" in sms.iloc[0]["rendered_value"]
+    assert "<IP>" in sms.iloc[0]["rendered_value"]
+    # the email-extracting rule fired on RAW text but not on scrubbed
+    assert (got.rule_id == "user_login").sum() == 0
+    raw = match_actions(transcripts_df(spark, pdf), rules).toPandas()
+    assert (raw.rule_id == "user_login").sum() > 0
+    # exactly-once: restart on the same checkpoint adds nothing
+    q2, _ = start_pipeline(
+        spark, input_dir, rules,
+        out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+        pii_scrub=True,
+    )
+    q2.awaitTermination(300)
+    assert len(sink.read(spark).toPandas()) == len(got)
+
+
 def test_rocksdb_state_store_parity(stream_input, tmp_path):
     """The RocksDB state store (the 10^12-scale backend) produces the
     identical exactly-once output as the default HDFS-backed store."""
