@@ -28,9 +28,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_at(cpus: int, input_dir: str) -> dict:
     env = dict(os.environ, SPARK_DRIVER_MEM="64g")
+    n_runs = os.environ.get("SPARK_GRAFT_SCALING_RUNS", "5")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/scaling_worker.py"),
-         str(cpus), input_dir],
+         str(cpus), input_dir, f"--runs={n_runs}"],
         capture_output=True, text=True, timeout=3600, cwd=REPO, env=env,
     )
     line = out.stdout.strip().splitlines()[-1]
@@ -118,6 +119,16 @@ def main():
     pred32 = w_par / 32 + c_ser
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # preserve the per-round curated sections ("## Round N -- ...")
+    # appended below the generated part: regenerating the measurement
+    # header must never clobber the round-by-round analysis record
+    manual = ""
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(baseline_path):
+        text = open(baseline_path).read()
+        idx = text.find("\n## Round")
+        if idx >= 0:
+            manual = text[idx:]
     rows = "\n".join(
         f"| local[{c}] | {r['batch_s']} s | "
         f"{result['throughput'][f'local{c}']['batch_turns_per_sec']} | "
@@ -204,7 +215,7 @@ parquet write is free are in the round-4 commit messages.
 Raw: `{json.dumps(result)}`
 
 Measured {result['ts']} on a 32-core host.
-""")
+{manual}""")
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
