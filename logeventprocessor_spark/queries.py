@@ -1037,6 +1037,28 @@ def q_domain_capped_docs(spark, sf_dir):
     )
 
 
+def q_stratified_sample_docs(spark, sf_dir):
+    """Training-mix control: deterministically downsample the corpus
+    per predicted language (en kept at 40%, de at 80%, others whole).
+    Membership is a pure hash of doc_id (operators/sampling.py) -- NO
+    RNG state, retry/cluster-size stable, codegen'd filter with no
+    shuffle -- unlike DataFrame.sample(), whose per-partition seeding
+    changes the kept set under repartitioning or stage retry. Returns
+    the bucket so the oracle pins the arithmetic, not just the
+    row set."""
+    from logeventprocessor_spark.operators import sampling as Smp
+
+    d = Tx.with_lang_id(_docs(spark, sf_dir))
+    out = Smp.stratified_sample(
+        d, {"en": 0.4, "de": 0.8}, strata_col="lang_pred", key_col="doc_id"
+    )
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        Smp.sample_bucket(F.col("doc_id")).cast("int").alias("bucket"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     d = Tx.with_quality_score(_docs(spark, sf_dir))
     return d.select(
@@ -1900,6 +1922,46 @@ ORACLES: dict[str, str] = {
                ELSE 'zh' END AS lang_pred
         FROM sc
     """,
+    "stratified_sample_docs": """
+        WITH s AS (
+          SELECT doc_id,
+            list_transform(regexp_split_to_array(trim(text), '\s+'), t -> lower(t)) AS toks
+          FROM documents
+        ), sc AS (
+          SELECT doc_id,
+            len(list_filter(toks, t -> list_contains(
+              ['the','and','of','to','is','in','that','it'], t))) AS s_en,
+            len(list_filter(toks, t -> list_contains(
+              ['der','die','das','und','ist','nicht','ich','zu'], t))) AS s_de,
+            len(list_filter(toks, t -> list_contains(
+              ['le','la','les','et','est','une','je','pas'], t))) AS s_fr,
+            len(list_filter(toks, t -> list_contains(
+              ['el','la','los','y','es','una','que','no'], t))) AS s_es,
+            len(list_filter(toks, t -> list_contains(
+              ['的','是','了','在','我','有','和','不'], t))) AS s_zh
+          FROM s
+        ), lang AS (
+          SELECT doc_id,
+            CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+                 WHEN s_de = greatest(s_de,s_fr,s_es,s_zh) THEN 'de'
+                 WHEN s_fr = greatest(s_fr,s_es,s_zh) THEN 'fr'
+                 WHEN s_es = greatest(s_es,s_zh) THEN 'es'
+                 ELSE 'zh' END AS lang_pred
+          FROM sc
+        ), b AS (
+          SELECT doc_id, lang_pred,
+                 CAST(CAST('0x' || substring(
+                     md5('s42' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 1000000 AS INTEGER) AS bucket
+          FROM lang
+        )
+        SELECT doc_id, lang_pred, bucket
+        FROM b
+        WHERE bucket < CASE lang_pred WHEN 'en' THEN 400000
+                                      WHEN 'de' THEN 800000
+                                      ELSE 1000000 END
+    """,
     "doc_repetition": """
         WITH g AS (
           SELECT doc_id,
@@ -2100,6 +2162,7 @@ def build_queries() -> dict:
         "dedup_clusters": q_dedup_clusters,
         "top_url_domains": q_top_url_domains,
         "domain_capped_docs": q_domain_capped_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
     }
     return _rotate_window(qs)
 
@@ -2129,6 +2192,7 @@ NEW_THIS_ROUND = (
     "top_url_domains",
     "cep_actions_ctx_carry",  # round-6: carry-through context plan
     "domain_capped_docs",     # round-6: per-domain cap operator
+    "stratified_sample_docs",  # round-6: deterministic training-mix sampling
 )
 
 

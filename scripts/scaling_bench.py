@@ -182,21 +182,21 @@ Target >= 0.8 per BASELINE.json north_rule. Setup notes:
   executors would achieve; the 4->16 pair fits the host and is the
   more faithful proxy.
 
-**Scaling analysis (round 4).** The naive fit T(c) = W/c + C on the
-4->16 pair gives W = {round(w_par, 1)} s, C = {round(c_ser, 1)} s
+**Scaling analysis (generated).** The naive fit T(c) = W/c + C on
+the 4->16 pair gives W = {round(w_par, 1)} s, C = {round(c_ser, 1)} s
 (predicts local[32] at {round(pred32, 1)} s vs
-{runs[32]['batch_s']} s measured). The pure-JVM control leg now
-settles WHERE efficiency is lost: it scales near-perfectly at BOTH
-pairs (incl. 8->32), so the host's cores and scheduler are healthy;
-every deficit beyond the control is the JVM->Arrow->Python boundary
-saturating ONE host's memory bus (each "core" = a JVM task thread +
-a separate Python worker; a NO-OP mapInPandas with zero Python work
-already scaled at only 0.43, scripts/match_scaling_probe.py). On a
-real cluster each executor owns its memory bus, so the boundary tax
-does not compound with executor count -- the control's curve is the
-faithful multi-executor proxy.
+{runs[32]['batch_s']} s measured). The pure-JVM control column
+separates machine from boundary: efficiency the CONTROL loses is the
+host (memory bus, turbo, oversubscription); only the gap between the
+control and the pipelines is the Arrow/Python boundary. The boundary
+story established in rounds 3-5: a NO-OP mapInPandas with zero
+Python work scales at only 0.43 on this host
+(scripts/match_scaling_probe.py); on a real cluster each executor
+owns its memory bus, so the boundary tax does not compound with
+executor count. Per-round interpretation belongs in the curated
+"## Round N" sections below, which this generator preserves.
 
-**Streaming backends (round 4).** The default snapshot cooldown
+**Streaming backends (history, round 4).** The default snapshot cooldown
 backend (streaming/batch_state.py) removed applyInPandasWithState's
 ~3-4 s fixed per-trigger floor (scripts/stream_floor.py) and raised
 ABSOLUTE stream throughput at every size vs round 3 (local[4]

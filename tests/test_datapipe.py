@@ -719,6 +719,46 @@ def test_cap_docs_per_domain_matches_naive_window(spark):
     assert sorted(r.doc_id for r in got if r.domain == "big.com") == [0, 2, 5]
 
 
+def test_stratified_sample_deterministic(spark):
+    """Hash-based sampling: membership is a pure function of the key
+    (pure-Python md5 recomputes every bucket), stable under
+    repartitioning (unlike DataFrame.sample's per-partition seed), and
+    per-stratum thresholds bind exactly (0.0 -> none, 1.0 -> all)."""
+    import hashlib
+
+    from logeventprocessor_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    fr = {"a": 0.0, "b": 1.0, "c": 0.5}
+    got = {
+        r.doc_id
+        for r in stratified_sample(
+            df, fr, strata_col="stratum", key_col="doc_id"
+        ).collect()
+    }
+
+    def bucket(i):
+        return int(hashlib.md5(f"s42{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    exp = {
+        i for i, s in rows if bucket(i) < int(fr[s] * 1_000_000)
+    }
+    assert got == exp
+    assert not any(s == "a" for i, s in rows if i in got)
+    assert all(i in got for i, s in rows if s == "b")
+    # repartitioning must not change membership
+    got7 = {
+        r.doc_id
+        for r in stratified_sample(
+            df.repartition(7), fr, strata_col="stratum", key_col="doc_id"
+        ).collect()
+    }
+    assert got7 == got
+
+
 def test_url_domain_extraction(spark):
     """URL extraction catches full spans (query strings, paths),
     ignores bare domains without a scheme, lowercases hosts, and
