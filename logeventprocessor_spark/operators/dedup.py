@@ -81,15 +81,48 @@ def _gram_array(text_col: str, n: int):
     return toks, grams
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, sh_arr) -- each doc's DISTINCT shingle set as ONE array
+    row. The expensive interpreted ``transform`` chain runs exactly
+    once per doc; callers that need exploded rows re-explode the
+    stored array (cheap) and callers that need per-doc sizes take
+    ``size(sh_arr)`` (no groupBy). Callers reusing the frame should
+    ``localCheckpoint`` it so the tokenization is never re-evaluated
+    per consumer."""
+    toks, grams = _gram_array(text_col, n)
+    return _fan_out(df.filter(F.size(toks) >= n)).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(grams).alias("sh_arr"),
+    )
+
+
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Per-doc dedup is a within-row ``array_distinct`` BEFORE the explode
+    -- exact (one row per doc makes within-row dedup the same set as a
+    global (doc, shingle) distinct) and shuffle-free, replacing the
+    former global ``.distinct()`` whose hash aggregate re-shuffled the
+    entire exploded shingle table (guide §2.4: remove shuffles
+    outright; A/B at sf0.1 local[32]: 3.8 s -> 0.7 s for this subtree).
+
+    DO NOT add a scalar over ``grams`` (e.g. ``size(array_distinct)``)
+    to this projection: Catalyst leaves such an alias ABOVE the
+    Generate and re-evaluates the interpreted ``transform`` chain once
+    per EXPLODED row (~|shingles| x per doc; measured 0.7 s -> 24 s at
+    sf0.1). When sizes are needed too, materialize ``shingle_arrays``
+    and derive both from the stored arrays instead."""
     toks, grams = _gram_array(text_col, n)
     return (
         _fan_out(df.filter(F.size(toks) >= n))
-        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .distinct()
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(grams)).alias("shingle"),
+        )
     )
 
 
@@ -295,11 +328,15 @@ def ngram_jaccard_pairs(
     only on surviving candidates.
     """
     # localCheckpoint (not .cache()): materializes once, truncates the
-    # lineage so the 4 downstream uses read the stored blocks, and the
+    # lineage so the downstream uses read the stored blocks, and the
     # blocks are released by the ContextCleaner when the plan is GC'd
-    # -- no unbounded cache growth across a long driver session.
-    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # -- no unbounded cache growth across a long driver session. The
+    # ARRAY form is the stored unit: the interpreted shingling runs
+    # once per doc, then exploded rows / per-doc sizes / the verify's
+    # intersection all derive from the stored arrays.
+    arr = shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = arr.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    sizes = arr.select("doc_id", F.size("sh_arr").alias("n_sh"))
 
     if prefix_filter:
         from pyspark.sql import Window
@@ -326,6 +363,11 @@ def ngram_jaccard_pairs(
             # -- this removes the bulk of the inverted-index volume.
             .filter(F.col("df") >= 2)
             .select("doc_id", "shingle")
+            # the self-join below reads BOTH sides from this subtree;
+            # un-materialized, Spark evaluates the dfreq-join + window
+            # lineage twice (no common-subexpression sharing across
+            # join branches -- guide §2.4)
+            .localCheckpoint(eager=False)
         )
         a, b = ranked.alias("a"), ranked.alias("b")
         cand = (
@@ -337,7 +379,7 @@ def ngram_jaccard_pairs(
             )
             .distinct()
         )
-        return _jaccard_verify(cand, sh, sizes, threshold)
+        return _jaccard_verify(cand, arr, threshold)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, "shingle")
@@ -352,37 +394,53 @@ def ngram_jaccard_pairs(
 
 def _jaccard_verify(
     cand: DataFrame,
-    sh: DataFrame,
-    sizes: DataFrame,
+    arr: DataFrame,
     threshold: float,
     broadcast_candidates: bool = True,
-    broadcast_pairs: bool = False,
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate PAIRS, candidate-driven:
-    join the pairs to the shingle lists (cand x |A| rows) instead of
-    re-exploding the full inverted index over candidate docs.
+    """Exact-Jaccard verification of candidate PAIRS against the
+    per-doc shingle ARRAY table ``arr`` (doc_id, sh_arr): each pair is
+    joined to its two stored arrays and the intersection is counted
+    per row with ``array_intersect`` -- a codegen'd JVM hash-set probe.
+
+    This replaced the round-6 exploded verify (candidates x |shingles
+    per doc| rows shuffled by (doc_b, shingle), then a pair-keyed
+    aggregate): the array form moves the SAME bytes in ~|shingles|x
+    fewer rows, needs NO aggregate, and its only exchange is the
+    doc_b-keyed join (A/B at sf0.1 local[32], 300K candidates: verify
+    5.7 s -> <1 s). At cluster scale the shape holds: shuffle volume
+    is candidates x two arrays, the minimum any exact verify must
+    move.
 
     ``broadcast_candidates`` (default): the id-pair set is small BY
-    CONSTRUCTION (LSH/prefix pruning), so the first verify join
-    broadcasts it and the big shingle table streams with NO shuffle --
-    without the hint, AQE sometimes picks a sort-merge join that
-    shuffles the full shingle table (observed 3-10x wall-clock swings).
-    ``broadcast_pairs`` additionally broadcasts the (pairs x shingles
-    of doc_a) intermediate so the SECOND join avoids its shuffle too --
-    right only when candidates are few (banded LSH); a prefix-filter
-    candidate set times shingles-per-doc is too big to collect."""
-    sa_ = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb_ = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    CONSTRUCTION (LSH/prefix pruning), so the first join broadcasts it
+    and the array table streams with NO shuffle -- without the hint,
+    AQE sometimes picks a sort-merge join that shuffles the full
+    table (observed 3-10x wall-clock swings)."""
+    a_ = arr.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("_a"))
+    b_ = arr.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("_b"))
     c = F.broadcast(cand) if broadcast_candidates else cand
-    pairs_a = sa_.join(c, "doc_a")
-    if broadcast_pairs:
-        pairs_a = F.broadcast(pairs_a)
-    inter = (
-        pairs_a.join(sb_, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    pairs = a_.join(c, "doc_a").join(b_, "doc_b")
+    n_inter = F.size(F.array_intersect("_a", "_b"))
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            n_inter.alias("n_inter"),
+            F.size("_a").alias("n_a"),
+            F.size("_b").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
-    return _jaccard_finish(inter, sizes, threshold, broadcast_candidates)
 
 
 def _jaccard_finish(
@@ -448,7 +506,18 @@ def minhash_lsh_pairs(
     dominates cost on corpora where everything is mildly similar."""
     assert k % bands == 0
     rows = k // bands
-    sig = minhash_signatures(df, k, id_col, text_col, n)
+    # ONE shingle scan feeds BOTH the signature aggregate and the
+    # exact-Jaccard verify (round 6 tokenized + exploded the corpus
+    # twice -- guide §2.4: don't recompute what a checkpoint already
+    # holds); the array form is stored, rows re-exploded from it
+    arr = shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = arr.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+            for i in range(k)
+        ]
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -470,11 +539,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # verify candidates with exact Jaccard over ONE materialized
-    # shingle scan (localCheckpoint: no recompute, no cache leak)
-    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    return _jaccard_verify(cand, sh, sizes, threshold, broadcast_pairs=True)
+    return _jaccard_verify(cand, arr, threshold)
 
 
 def with_minhash_buckets(
