@@ -922,14 +922,37 @@ def start_pipeline(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    if state_partitions is None:
+    # confs pinned into THIS query at start (session value restored
+    # right after start(), same mechanism as the state_partitions pin)
+    pinned: dict[str, str] = {}
+    if state_partitions is not None:
+        pinned["spark.sql.shuffle.partitions"] = str(state_partitions)
+    if cooldown_backend == "snapshot" and with_context_join \
+            and context_mode == "join":
+        # Skip the trailing NO-DATA micro-batch: for this query it
+        # exists only to advance the watermark and evict join state --
+        # an INNER time-bounded join emits every pair on the data batch
+        # and emits nothing at eviction, so the sink output is
+        # byte-identical (A/B at 1M turns local[32]: same 234,056 rows
+        # and checksum; wall 8.4 s -> ~6.1 s, the no-data batch's
+        # state-store scan + ~full-state eviction commit across
+        # 4 stores x state_partitions). Eviction then happens lazily on
+        # the next DATA batch -- delayed eviction can only RETAIN extra
+        # state, never drop a row that could still match (late rows are
+        # filtered at input by the watermark, not by state eviction),
+        # so continuous deployments trade a bounded state-size bump
+        # between sparse batches for one fewer stateful commit cycle
+        # per trigger.
+        pinned["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    old_vals = {k: spark.conf.get(k, None) for k in pinned}
+    for k, v in pinned.items():
+        spark.conf.set(k, v)
+    try:
         q = writer.start()
-    else:
-        key = "spark.sql.shuffle.partitions"
-        old = spark.conf.get(key)
-        spark.conf.set(key, str(state_partitions))
-        try:
-            q = writer.start()
-        finally:
-            spark.conf.set(key, old)
+    finally:
+        for k, v in old_vals.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return q, sink
