@@ -173,7 +173,17 @@ def _compiled(payload: tuple) -> list:
             extract_pat = (
                 pat if pat.groups >= 1 else re.compile(f"({pattern})", re.IGNORECASE)
             )
-            got.append((rule_id, rule_idx, pat, extract_pat, prefilter_literal(pattern)))
+            literal = prefilter_literal(pattern)
+            # no provable literal, but the pattern sits in the
+            # dialect-identical RE2 subset: the C++ RE2 scan
+            # (pc.match_substring_regex) can produce the candidate mask
+            # -- no pandas conversion of the batch text
+            safe_re2 = (
+                pattern
+                if literal is None and _safe_jvm_pattern(pattern)
+                else None
+            )
+            got.append((rule_id, rule_idx, pat, extract_pat, literal, safe_re2))
         while len(_COMPILED_CACHE) >= _CACHE_CAPACITY:
             _COMPILED_CACHE.pop(next(iter(_COMPILED_CACHE)))
         _COMPILED_CACHE[payload] = got
@@ -215,10 +225,20 @@ def _arrow_match_batches(batches, compiled, carry_cols=()):
         ncol = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
         text = pc.fill_null(ncol["text"], "")
         lowered = pc.utf8_lower(text)
-        text_pd = None  # lazy: only built if some rule has no literal
-        for rule_id, rule_idx, pat, extract_pat, literal in compiled:
-            if literal is not None:
-                mask = pc.match_substring(lowered, literal)
+        text_pd = None  # lazy: only built if some rule has no prefilter
+        for rule_id, rule_idx, pat, extract_pat, literal, safe_re2 in compiled:
+            if literal is not None or safe_re2 is not None:
+                # candidate mask stays in C++: substring scan for
+                # literal-bearing rules, RE2 scan for literal-free
+                # rules inside the dialect-identical subset (replaces
+                # the former full-batch pandas conversion + pandas
+                # regex for such rules -- guide §4.2)
+                if literal is not None:
+                    mask = pc.match_substring(lowered, literal)
+                else:
+                    mask = pc.match_substring_regex(
+                        text, safe_re2, ignore_case=True
+                    )
                 cand_idx = pc.indices_nonzero(mask)
                 if len(cand_idx) == 0:
                     continue
@@ -279,7 +299,7 @@ def _match_batch(pdf: pd.DataFrame, compiled: list) -> pd.DataFrame | None:
     # pre-filter (substring scan ~10x cheaper than the regex)
     lowered = text.str.lower()
     outs = []
-    for rule_id, rule_idx, pat, extract_pat, literal in compiled:
+    for rule_id, rule_idx, pat, extract_pat, literal, _safe_re2 in compiled:
         cand = text
         if literal is not None:
             pre = lowered.str.contains(literal, regex=False, na=False)
@@ -380,28 +400,36 @@ def match_turns(
     return src.mapInArrow(fn, schema=out_schema)
 
 
-_SAFE_CLASS_CHARS = frozenset(
-    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 _-"
-)
+_SAFE_CLASS_CHARS = frozenset("0123456789 _-")
 _SAFE_LIT_CHARS = _SAFE_CLASS_CHARS | frozenset(":;,'%/@!# ")
 
 
 def _safe_jvm_pattern(pattern: str) -> bool:
     """True only for patterns inside a TINY, provably dialect-identical
-    regex subset: literal ASCII chars, '.', simple character classes of
-    literals/ranges, and greedy quantifiers ``* + ? {m} {m,n}``. On
-    this subset Java regex (``RLIKE``), RE2, and Python ``re`` agree on
-    unanchored case-insensitive search semantics, so such a pattern can
-    serve as its own JVM-side candidate prefilter when no required
+    regex subset: literal uncased ASCII chars (digits, space, a few
+    punctuation marks), simple character classes of those, and greedy
+    quantifiers ``* + ? {m} {m,n}``. On this subset Java regex
+    (``RLIKE``), RE2 (pyarrow), and Python ``re`` agree on unanchored
+    case-insensitive search semantics, so such a pattern can serve as
+    its own JVM- or Arrow-side candidate prefilter when no required
     literal is provable (e.g. ``[0-9]{6}``). Anything else (escapes,
     groups, alternation, anchors, lookaround, negated classes) returns
     False -- the prefilter must never produce a false NEGATIVE, so when
-    unsure the rule simply contributes no pruning."""
+    unsure the rule simply contributes no pruning.
+
+    Deliberately EXCLUDED from the subset (round-6 advice): ``.`` --
+    Java's dot excludes \\r/U+0085/U+2028-9 while Python's excludes
+    only \\n, so a Java-side dot prefilter could false-negative rows
+    Python would match -- and CASED LETTERS, because Java ``(?i)``
+    folds ASCII-only while Python ``re.IGNORECASE`` folds Unicode
+    (e.g. U+212A KELVIN SIGN matches ``k`` in Python but not Java).
+    Digits, space, and uncased punctuation are fold-invariant in every
+    dialect."""
     i, n = 0, len(pattern)
     prev_atom = False
     while i < n:
         c = pattern[i]
-        if c in _SAFE_LIT_CHARS or c == ".":
+        if c in _SAFE_LIT_CHARS:
             prev_atom = True
             i += 1
         elif c == "[":
