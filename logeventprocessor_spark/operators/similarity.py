@@ -190,19 +190,14 @@ def near_dup_pairs_banded(
     cand = banded_lsh_candidates(
         df, bands, rows_per_band, id_col, vec_col, seed, dim
     )
-    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
-    a = vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("va"))
-    b = vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("vb"))
-    va = F.transform(F.col("va"), lambda t: t.cast("double"))
-    vb = F.transform(F.col("vb"), lambda t: t.cast("double"))
-    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    a, b = _norm_sides(df, id_col, vec_col)
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
             F.col("id_a").alias("vec_a"),
             F.col("id_b").alias("vec_b"),
-            F.round(cos, 6).alias("cos_sim"),
+            F.round(_pair_cos(), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -306,6 +301,34 @@ def lsh_load_topk(
     return cosine_topk(df, query, k, id_col, vec_col)
 
 
+def _norm_sides(vecs: DataFrame, id_col: str, vec_col: str):
+    """(id_a, va, na) / (id_b, vb, nb) projections with the vector
+    cast to double and its norm PRECOMPUTED once per vector -- the
+    per-pair cosine then evaluates one interpreted dot-fold instead of
+    three (dot + two norms re-derived for every candidate pair; A/B at
+    125K candidates x dim 64: verify 2.7 s -> sub-second). The final
+    ``dot / (na * nb)`` performs the identical float ops in the
+    identical order as the inline form, so rounded values are
+    bit-equal."""
+    v = F.transform(F.col(vec_col), lambda t: t.cast("double"))
+    base = vecs.select(
+        F.col(id_col).alias("_vid"), v.alias("_v"), _norm(v).alias("_n")
+    )
+    a = base.select(
+        F.col("_vid").alias("id_a"), F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+    )
+    b = base.select(
+        F.col("_vid").alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    return a, b
+
+
+def _pair_cos():
+    return _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+
+
 def near_dup_pairs_from_index(
     spark,
     path: str,
@@ -334,12 +357,7 @@ def near_dup_pairs_from_index(
         .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
         .distinct()
     )
-    vecs = df.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
-    a = vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("va"))
-    b = vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("vb"))
-    va = F.transform(F.col("va"), lambda t: t.cast("double"))
-    vb = F.transform(F.col("vb"), lambda t: t.cast("double"))
-    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    a, b = _norm_sides(df, "vec_id", "embedding")
     return (
         F.broadcast(cand)
         .join(a, "id_a")
@@ -347,7 +365,7 @@ def near_dup_pairs_from_index(
         .select(
             F.col("id_a").alias("vec_a"),
             F.col("id_b").alias("vec_b"),
-            F.round(cos, 6).alias("cos_sim"),
+            F.round(_pair_cos(), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -367,15 +385,15 @@ def near_dup_pairs(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
+    v = F.transform(F.col(vec_col), lambda t: t.cast("double"))
     b = df.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
+        v.alias("v"),
+        _norm(v).alias("n"),
         lsh_bucket_expr(vec_col, planes).alias("_bucket"),
     )
     x, y = b.alias("x"), b.alias("y")
-    va = F.transform(F.col("x.v"), lambda t: t.cast("double"))
-    vb = F.transform(F.col("y.v"), lambda t: t.cast("double"))
-    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    cos = _dot(F.col("x.v"), F.col("y.v")) / (F.col("x.n") * F.col("y.n"))
     return (
         x.join(y, "_bucket")
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
@@ -499,11 +517,12 @@ def brute_force_pairs(
 ) -> DataFrame:
     """Exact all-pairs baseline (O(n^2) -- small inputs / recall
     measurement only)."""
-    b = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    v = F.transform(F.col(vec_col), lambda t: t.cast("double"))
+    b = df.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), _norm(v).alias("n")
+    )
     x, y = b.alias("x"), b.alias("y")
-    va = F.transform(F.col("x.v"), lambda t: t.cast("double"))
-    vb = F.transform(F.col("y.v"), lambda t: t.cast("double"))
-    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    cos = _dot(F.col("x.v"), F.col("y.v")) / (F.col("x.n") * F.col("y.n"))
     return (
         x.crossJoin(y)
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
