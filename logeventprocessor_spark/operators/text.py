@@ -151,7 +151,7 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_repetition_ratio(
-    df: DataFrame, text_col: str = "text", n: int = 3
+    df: DataFrame, text_col: str = "text", n: int = 3, rebalance: bool = True
 ) -> DataFrame:
     """Gopher-style repetition signal: the fraction of word n-grams
     that are repeats of an earlier n-gram in the SAME document
@@ -159,9 +159,17 @@ def with_repetition_ratio(
     Pure column expressions (transform + array_distinct) -- no explode,
     whole document stays one row; narrow inputs are rebalanced first
     (higher-order fns are interpreted per element, so parallelism is
-    the lever).
-    """
-    df = fan_out(df)
+    the lever). Pass ``rebalance=False`` when the caller already
+    fanned the frame out -- a second round-robin exchange is pure
+    cost.
+
+    ``n_grams`` is ARITHMETIC (``size(toks) - n + 1`` == the length of
+    the gram array by construction), so the interpreted ``transform``
+    chain is evaluated exactly once per row (for ``n_distinct``) --
+    Catalyst does not share the chain between two references, so the
+    former ``size(grams)`` form ran the whole tokenization twice."""
+    if rebalance:
+        df = fan_out(df)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
@@ -169,7 +177,7 @@ def with_repetition_ratio(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    n_grams = F.size(grams)
+    n_grams = F.size(toks) - (n - 1)
     n_distinct = F.size(F.array_distinct(grams))
     ratio = F.when(
         F.size(toks) >= n,

@@ -907,11 +907,13 @@ def q_customers_without_orders(spark, sf_dir):
 def q_doc_fingerprints(spark, sf_dir):
     # fp_roll is xxhash64-based (no DuckDB equivalent) -> oracle checks
     # fp_md5 only; fp_roll is pinned by unit tests instead
-    return Tx.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_md5")
+    return Tx.with_fingerprint(Tx.fan_out(_docs(spark, sf_dir))).select(
+        "doc_id", "fp_md5"
+    )
 
 
 def q_dedup_exact_stats(spark, sf_dir):
-    d = Tx.with_fingerprint(_docs(spark, sf_dir))
+    d = Tx.with_fingerprint(Tx.fan_out(_docs(spark, sf_dir)))
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("fp_md5").alias("n_distinct"),
@@ -973,7 +975,13 @@ def q_pii_scrub(spark, sf_dir):
     Pure codegen'd projection, no shuffle (operators/text.py
     with_pii_scrub)."""
     planted = spark.createDataFrame(PII_PLANTED, "doc_id long, text string")
-    docs = _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
+    # fan_out: the scrub is 8 regex passes over a single-split local
+    # scan -- rebalanced, it runs at cluster parallelism (A/B at sf0.1
+    # local[32]: 0.45 -> 0.20 s); a real 100 TB scan arrives
+    # multi-split and fan_out passes through (mode="never")
+    docs = Tx.fan_out(
+        _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
+    )
     return Tx.with_pii_scrub(docs).select(
         "doc_id",
         "n_email",
@@ -1002,7 +1010,9 @@ def q_top_url_domains(spark, sf_dir):
     (the corpus scan stays one pass); the domain aggregation is the
     single shuffle."""
     planted = spark.createDataFrame(URL_PLANTED, "doc_id long, text string")
-    docs = _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
+    docs = Tx.fan_out(
+        _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
+    )
     u = Tx.with_urls(docs).filter(F.col("n_urls") > 0)
     return (
         u.select("doc_id", F.explode("urls").alias("url"))
@@ -1023,7 +1033,9 @@ def q_domain_capped_docs(spark, sf_dir):
     mega-domain never lands whole in one window task). Oracled with
     the same window in DuckDB."""
     planted = spark.createDataFrame(URL_PLANTED, "doc_id long, text string")
-    docs = _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
+    docs = Tx.fan_out(
+        _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
+    )
     dom = (
         Tx.with_urls(docs)
         .filter(F.col("n_urls") > 0)
@@ -1048,7 +1060,7 @@ def q_stratified_sample_docs(spark, sf_dir):
     row set."""
     from logeventprocessor_spark.operators import sampling as Smp
 
-    d = Tx.with_lang_id(_docs(spark, sf_dir))
+    d = Tx.with_lang_id(Tx.fan_out(_docs(spark, sf_dir)))
     out = Smp.stratified_sample(
         d, {"en": 0.4, "de": 0.8}, strata_col="lang_pred", key_col="doc_id"
     )
@@ -1060,14 +1072,16 @@ def q_stratified_sample_docs(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    d = Tx.with_quality_score(_docs(spark, sf_dir))
+    d = Tx.with_quality_score(Tx.fan_out(_docs(spark, sf_dir)))
     return d.select(
         "doc_id", "n_tokens_ws", "stopword_ratio", "punct_ratio", "quality_score"
     )
 
 
 def q_lang_id_pred(spark, sf_dir):
-    return Tx.with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+    return Tx.with_lang_id(Tx.fan_out(_docs(spark, sf_dir))).select(
+        "doc_id", "lang_pred"
+    )
 
 
 def q_doc_repetition(spark, sf_dir):
@@ -1082,7 +1096,7 @@ def q_doc_repetition(spark, sf_dir):
 
 
 def q_token_stats_by_lang(spark, sf_dir):
-    d = Tx.with_token_counts(_docs(spark, sf_dir))
+    d = Tx.with_token_counts(Tx.fan_out(_docs(spark, sf_dir)))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_tokens_ws"), 4).alias("avg_tokens"),
@@ -1104,9 +1118,15 @@ def q_training_data_filter(spark, sf_dir):
     of a real corpus-filter job at 100 TB. Fully DuckDB-oracled."""
     from pyspark.sql import Window
 
+    # rebalance FIRST: the fingerprint/quality/lang feature work is
+    # regex + interpreted higher-order expressions, and the small local
+    # parquet arrives as ONE scan split -- fanned out up front, every
+    # feature stage parallelizes instead of only the repetition pass
+    # (guide §2: partitioning bounds downstream parallelism)
     d = Tx.with_repetition_ratio(
         Tx.with_lang_id(Tx.with_quality_score(Tx.with_fingerprint(
-            _docs(spark, sf_dir))))
+            Tx.fan_out(_docs(spark, sf_dir))))),
+        rebalance=False,
     )
     w = Window.partitionBy("fp_md5").orderBy("doc_id")
     d = d.withColumn("_rn", F.row_number().over(w))
