@@ -97,11 +97,20 @@ def connected_components(
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("dst", "id")
         )
-        hop = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.least(
-                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-            ).alias("comp"),
+        # _old rides along so convergence needs no second join below;
+        # the lazy checkpoint materializes hop ONCE inside this round's
+        # single action -- un-materialized, the pointer-jump self-join
+        # would evaluate the neighbor-min join subtree twice per round
+        hop = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.col("comp").alias("_old"),
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
         )
         # Step 2: pointer jump -- comp := min(comp, comp[comp]). Every
         # label value is itself a vertex id, so look its label up in
@@ -109,23 +118,21 @@ def connected_components(
         comp_of = hop.select(
             F.col("id").alias("c_id"), F.col("comp").alias("c_comp")
         )
+        new_comp = F.least(F.col("comp"), F.coalesce("c_comp", F.col("comp")))
         new_labels = (
             hop.join(comp_of, hop["comp"] == comp_of["c_id"], "left")
             .select(
                 "id",
-                F.least(
-                    F.col("comp"), F.coalesce("c_comp", F.col("comp"))
-                ).alias("comp"),
+                new_comp.alias("comp"),
+                (new_comp < F.col("_old")).alias("_chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        # ONE action per round: materializes the (lazy) checkpoints AND
+        # counts label shrinkage -- replaces the former eager
+        # checkpoint job + separate old-vs-new join/count job
+        changed = new_labels.filter("_chg").count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -753,6 +753,11 @@ def _simhash_block_pairs(
         f"(got max_hamming={max_hamming}, n_blocks={n_blocks}): a pair "
         f"whose differing bits spread across all blocks would be missed"
     )
+    # the block self-join reads BOTH sides from the signature subtree;
+    # un-materialized, Spark evaluates the full explode + n_bits-agg
+    # signature computation twice (exchange reuse does not fire across
+    # the Generate) -- guide §2.4
+    sig = sig.localCheckpoint(eager=False)
     base, rem = divmod(n_bits, n_blocks)
     widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
@@ -889,6 +894,10 @@ def _simhash_compound_pairs(
 
     r = n_blocks - max_hamming
     assert r >= 1, "need max_hamming < n_blocks for full recall"
+    # materialize the signatures: the combo-key self-join would
+    # otherwise evaluate the explode + n_bits-agg subtree once per
+    # side (same double-evaluation as _simhash_block_pairs)
+    sig = sig.localCheckpoint(eager=False)
     base, rem = divmod(n_bits, n_blocks)
     widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
