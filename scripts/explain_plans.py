@@ -41,9 +41,13 @@ PLANS = [
      "two-phase agg: (key,salt) partial then S-row final combine"),
     ("asof_purchase_view", "union + window carry; one shuffle on the key"),
     ("ngram_jaccard_pairs",
-     "explode -> shingle-key shuffle (high-cardinality, unskewed)"),
+     "per-doc shingle ARRAYS materialized once (in-row array_distinct, "
+     "no global distinct shuffle); prefix-filtered candidates; exact "
+     "verify = array_intersect over the two stored arrays per pair -- "
+     "no exploded candidatesxshingles shuffle, no pair aggregate"),
     ("minhash_lsh_pairs",
-     "one-shuffle 32-min-agg signature; band-bucket join; exact verify"),
+     "ONE materialized shingle scan feeds the 32-min-agg signature AND "
+     "the verify; band-bucket join; exact verify via array_intersect"),
     ("benchmark_decontamination",
      "corpus scanned ONCE: within-row array_distinct shingles (no "
      "global distinct shuffle on the big side), benchmark shingle set "
