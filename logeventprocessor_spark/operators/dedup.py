@@ -329,11 +329,13 @@ def ngram_jaccard_pairs(
     """
     # localCheckpoint (not .cache()): materializes once, truncates the
     # lineage so the downstream uses read the stored blocks, and the
-    # blocks are released by the ContextCleaner when the plan is GC'd
-    # -- no unbounded cache growth across a long driver session. The
-    # ARRAY form is the stored unit: the interpreted shingling runs
-    # once per doc, then exploded rows / per-doc sizes / the verify's
-    # intersection all derive from the stored arrays.
+    # blocks are released by the ContextCleaner when the plan is GC'd.
+    # (.persist() was A/B-measured for this frame and REJECTED: the
+    # columnar InMemoryRelation encode/decode tripled exec time --
+    # 1.05 -> 2.96 s at sf0.1 local[32].) The ARRAY form is the stored
+    # unit: the interpreted shingling runs once per doc, then exploded
+    # rows / per-doc sizes / the verify's intersection all derive from
+    # the stored arrays.
     arr = shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=False)
     sh = arr.select("doc_id", F.explode("sh_arr").alias("shingle"))
     sizes = arr.select("doc_id", F.size("sh_arr").alias("n_sh"))
@@ -479,8 +481,10 @@ def minhash_signatures(
     """k MinHash values per doc in ONE shuffle: groupBy(doc) with k
     min(xxhash64(seed_i, shingle)) aggregates -- all JVM-side."""
     sh = shingles(df, id_col, text_col, n)
+    # SQL-string form: one JVM parse per aggregate instead of ~4 py4j
+    # round-trips each (seed literal stays INT, identical hash input)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        F.expr(f"min(xxhash64({i}, shingle))").alias(f"mh_{i}")
         for i in range(k)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -512,23 +516,24 @@ def minhash_lsh_pairs(
     # holds); the array form is stored, rows re-exploded from it
     arr = shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=False)
     sh = arr.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    # SQL-string exprs: py4j round-trips dominate query BUILD time for
+    # wide aggregate lists (see _simhash_from_tokens); parsed trees are
+    # identical (INT seed literal, same hash input), results unchanged
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+            F.expr(f"min(xxhash64({i}, shingle))").alias(f"mh_{i}")
             for i in range(k)
         ]
     )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
-                "bucket"
-            ),
+    band_sqls = [
+        "named_struct('band', {b}, 'bucket', xxhash64({cols}))".format(
+            b=b, cols=", ".join(f"mh_{b * rows + r}" for r in range(rows))
         )
         for b in range(bands)
     ]
     buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+        "doc_id",
+        F.explode(F.expr("array(" + ", ".join(band_sqls) + ")")).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -692,24 +697,30 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _simhash_from_tokens(toks: DataFrame, n_bits: int) -> DataFrame:
     """(doc_id, h) -> (doc_id, simhash): per bit sum +1/-1, reassemble.
-    ``n_bits`` codegen'd aggregates, ONE shuffle, no Python."""
+    ``n_bits`` codegen'd aggregates, ONE shuffle, no Python.
+
+    The expressions are built as SQL strings parsed JVM-side in one
+    py4j call each: the equivalent Column-operator chain costs ~8 py4j
+    round-trips per bit (measured: ~1.5 s of pure driver-side Python
+    per query BUILD at n_bits=60 -- 4x the query's execution time).
+    The parsed trees are identical (same functions, same literal
+    types), so results are bit-for-bit unchanged."""
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1"
+            f" THEN 1 ELSE -1 END)"
         ).alias(f"b_{b}")
         for b in range(n_bits)
     ]
     sums = toks.groupBy("doc_id").agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for b in range(n_bits):
-        # shiftleft in the JVM: bit 63 wraps to the sign bit, which a
-        # python 1<<63 literal cannot express as LongType
-        sig = sig + F.when(
-            F.col(f"b_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-    return sums.select("doc_id", sig.alias("simhash"))
+    # shiftleft in the JVM: bit 63 wraps to the sign bit, which a
+    # python 1<<63 literal cannot express as LongType
+    sig_sql = " + ".join(
+        f"(CASE WHEN b_{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(n_bits)
+    )
+    return sums.select("doc_id", F.expr(sig_sql).alias("simhash"))
 
 
 def simhash(
@@ -761,24 +772,20 @@ def _simhash_block_pairs(
     base, rem = divmod(n_bits, n_blocks)
     widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    block_exprs = []
-    for i in range(n_blocks):
-        mask = (1 << widths[i]) - 1
-        # arithmetic shiftright sign-extends above the block, but the
-        # mask truncates to exactly this block's bits -- correct even
-        # for the block containing the sign bit
-        block_exprs.append(
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright(F.col("simhash"), offsets[i])
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
-        )
+    # one JVM-parsed SQL expr for the whole block array (see
+    # _simhash_from_tokens: py4j round-trips dominate query BUILD).
+    # Arithmetic shiftright sign-extends above the block, but the mask
+    # truncates to exactly this block's bits -- correct even for the
+    # block containing the sign bit.
+    block_sqls = [
+        f"named_struct('blk', {i}, 'val',"
+        f" shiftright(simhash, {offsets[i]}) & {(1 << widths[i]) - 1})"
+        for i in range(n_blocks)
+    ]
     blocks = sig.select(
         "doc_id",
         "simhash",
-        F.explode(F.array(*block_exprs)).alias("b"),
+        F.explode(F.expr("array(" + ", ".join(block_sqls) + ")")).alias("b"),
     ).select(
         "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     )
@@ -901,27 +908,31 @@ def _simhash_compound_pairs(
     base, rem = divmod(n_bits, n_blocks)
     widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    combo_exprs = []
+    # JVM-parsed SQL for the C(n_blocks, r) combo-key array: the
+    # Column-operator form cost ~6 py4j round-trips per (combo, block)
+    # -- ~360 driver-side calls at the default geometry, the dominant
+    # share of the query's BUILD time (see _simhash_from_tokens).
+    # Arithmetic shiftright sign-extends; the mask truncates to this
+    # block's bits (correct for the sign-bit block too).
+    combo_sqls = []
     for ci, combo in enumerate(combinations(range(n_blocks), r)):
-        key = F.lit(0).cast("long")
+        terms = []
         shift = 0
         for b in combo:
             mask = (1 << widths[b]) - 1
-            # arithmetic shiftright sign-extends; the mask truncates to
-            # this block's bits (correct for the sign-bit block too)
-            val = (
-                F.shiftright(F.col("simhash"), offsets[b])
-                .bitwiseAND(F.lit(mask))
-                .cast("long")
+            terms.append(
+                f"shiftleft(CAST((shiftright(simhash, {offsets[b]})"
+                f" & {mask}) AS BIGINT), {shift})"
             )
-            key = key + F.shiftleft(val, shift)
             shift += widths[b]
         assert shift < 63, "compound key must fit a signed long"
-        combo_exprs.append(
-            F.struct(F.lit(ci).alias("combo"), key.alias("key"))
+        combo_sqls.append(
+            f"named_struct('combo', {ci}, 'key', {' + '.join(terms)})"
         )
     keys = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*combo_exprs)).alias("c")
+        "doc_id",
+        "simhash",
+        F.explode(F.expr("array(" + ", ".join(combo_sqls) + ")")).alias("c"),
     ).select(
         "doc_id", "simhash", F.col("c.combo").alias("combo"),
         F.col("c.key").alias("key"),
