@@ -15,11 +15,17 @@ graph. Each round does TWO label-shrinking steps:
 * **neighbor-min** (one edge join + one groupBy(id) shuffle): every
   vertex takes the min of its own label and its neighbors' labels --
   extends the hop horizon by one;
-* **pointer jumping** (one labels self-join on ``comp == id``): every
-  vertex then takes the label OF its current label
-  (``comp := min(comp, comp[comp])``) -- since the label table is
-  itself converging toward min-reachable ids, this step composes two
-  known paths and roughly DOUBLES the hop horizon each round.
+* **pointer jumping** (one join against the PREVIOUS round's label
+  table on ``comp == id``): every vertex then takes the stored label
+  OF its freshly-updated label (``comp := min(comp', prev[comp'])``)
+  -- composing two known paths, which roughly DOUBLES the hop horizon
+  each round (h_{k+1} = 2*h_k + 1). Jumping through the previous
+  (already materialized) table instead of the current round's
+  intermediate means the intermediate is referenced exactly ONCE, so
+  it needs no materialization of its own -- one checkpoint per round
+  instead of two, halving the driver-side planning/codegen cost that
+  dominates small-graph rounds, at the price of one extra round on
+  the deepest chains (2h+1 vs 2h+2 horizon growth).
 
 With the doubling step, convergence needs O(log diameter) rounds, not
 O(diameter) -- the same round bound as the alternating
@@ -29,12 +35,14 @@ chain of 2^k vertices converges in ~k rounds; plain neighbor-min
 propagation alone would need 2^k rounds and is NOT what this runs.
 
 100 TB design: per iteration exactly two shuffles keyed on vertex id
-(high cardinality, no skew); the labels frame is eagerly
+(high cardinality, no skew); the labels frame is (lazily)
 ``localCheckpoint``-ed every round so the plan never grows with the
 iteration count (no deep lineage for Catalyst to re-analyze); the
 convergence test is a single cheap count() action per round -- the
 standard driver-side loop shape of iterative Spark algorithms. The
-symmetrized edge list is localCheckpoint-ed once and reused by every
+symmetrized edge list is built in ONE pass over the pair input (a
+2-way explode, no self-union -- a union would evaluate the pair
+subtree once per branch) and localCheckpoint-ed once, reused by every
 iteration.
 """
 
@@ -68,18 +76,23 @@ def connected_components(
     representable graph -- so hitting the RuntimeError indicates a bug,
     not a long chain.
     """
-    edges = pairs.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).localCheckpoint(eager=False)
-    # checkpoint BEFORE the symmetrizing union: Spark evaluates each
-    # union branch independently (no common-subexpression sharing), so
-    # an un-materialized pair plan -- often a full near-dup pair
-    # generation subtree -- would run TWICE
+    # Symmetrize in ONE pass: each pair row explodes into both edge
+    # directions. (The former self-union evaluated the pair subtree
+    # once per branch and needed a pre-union checkpoint to stop that;
+    # the explode removes both the double evaluation and the extra
+    # checkpoint -- guide §2.4.)
+    s = F.col(src_col).cast("long")
+    d = F.col(dst_col).cast("long")
     edges = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(s.alias("src"), d.alias("dst")),
+                    F.struct(d.alias("src"), s.alias("dst")),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -87,7 +100,13 @@ def connected_components(
         labels = vertices.select(F.col(id_col).cast("long").alias("id"))
     else:
         labels = edges.select(F.col("src").alias("id"))
-    labels = labels.distinct().withColumn("comp", F.col("id")).localCheckpoint()
+    # lazy: materialized by round 1's count action (an eager checkpoint
+    # here would spend a whole extra job on the init table)
+    labels = (
+        labels.distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
 
     for _ in range(max_iter):
         # Step 1: neighbor-min -- one-hop label exchange along edges.
@@ -97,25 +116,21 @@ def connected_components(
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("dst", "id")
         )
-        # _old rides along so convergence needs no second join below;
-        # the lazy checkpoint materializes hop ONCE inside this round's
-        # single action -- un-materialized, the pointer-jump self-join
-        # would evaluate the neighbor-min join subtree twice per round
-        hop = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.col("comp").alias("_old"),
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint(eager=False)
+        # _old rides along so convergence needs no second join below.
+        # hop is referenced exactly once (the jump join) -- no
+        # materialization needed.
+        hop = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.col("comp").alias("_old"),
+            F.least(
+                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+            ).alias("comp"),
         )
-        # Step 2: pointer jump -- comp := min(comp, comp[comp]). Every
-        # label value is itself a vertex id, so look its label up in
-        # the same table; composing the two paths doubles the horizon.
-        comp_of = hop.select(
+        # Step 2: pointer jump through the PREVIOUS generation --
+        # comp := min(comp', prev[comp']). Every label value is itself
+        # a vertex id; prev is already materialized, so this round
+        # checkpoints only its OUTPUT (one toRdd per round, not two).
+        comp_of = labels.select(
             F.col("id").alias("c_id"), F.col("comp").alias("c_comp")
         )
         new_comp = F.least(F.col("comp"), F.coalesce("c_comp", F.col("comp")))
