@@ -192,9 +192,14 @@ def embedding_dim(sf_dir: str) -> int:
 
 # --------------------- near-dup pair fixture ---------------------
 
-def ngram_pairs_path(sf_dir: str) -> str:
+def ngram_pairs_path(sf_dir: str, threshold: float = 0.6) -> str:
     key = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(FIXTURES_ROOT, f"ngram_pairs_{_V}_{key}")
+    # threshold is part of the cache key: a caller passing a
+    # non-default threshold must never silently receive pairs
+    # materialized at another one (round-6 advice #2). The default
+    # keeps the historical name so existing fixtures stay valid.
+    t = "" if threshold == 0.6 else f"_t{threshold}"
+    return os.path.join(FIXTURES_ROOT, f"ngram_pairs_{_V}_{key}{t}")
 
 
 def ngram_pairs_fixture(spark, sf_dir: str, threshold: float = 0.6) -> str:
@@ -208,7 +213,7 @@ def ngram_pairs_fixture(spark, sf_dir: str, threshold: float = 0.6) -> str:
     re-measure pair generation already benched on its own line).
     Atomic like the other fixture builds: written to a pid-suffixed
     tmp dir, renamed into place."""
-    path = ngram_pairs_path(sf_dir)
+    path = ngram_pairs_path(sf_dir, threshold)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     if os.path.isdir(path):  # half-built leftover from a crash

@@ -37,7 +37,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from logeventprocessor_spark.rules import Rule
-from logeventprocessor_spark.schema import MATCHES_SCHEMA
 
 
 def suppress_group(
@@ -105,6 +104,14 @@ def apply_cooldown(
 
     from pyspark.sql import functions as F
 
+    # Output schema = the INPUT schema (minus the prior_ns seed): the
+    # scan only drops rows, never reshapes them, so extra columns after
+    # the MATCHES prefix (e.g. carried role/tool context) pass through
+    # untouched -- this is what lets the carry-context pipeline send
+    # context THROUGH the gate instead of splitting it off and
+    # re-joining after step expansion (a dropDuplicates + join per
+    # micro-batch).
+    out_schema = matches.schema
     has_prior = prior is not None
     if has_prior:
         cols = matches.columns
@@ -225,4 +232,4 @@ def apply_cooldown(
             if out is not None:
                 yield out
 
-    return rep.mapInArrow(fn, schema=MATCHES_SCHEMA)
+    return rep.mapInArrow(fn, schema=out_schema)

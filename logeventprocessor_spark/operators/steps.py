@@ -46,9 +46,16 @@ def steps_df(spark: SparkSession, rules: list[Rule]) -> DataFrame:
     )
 
 
-def expand_steps(matches: DataFrame, rules: list[Rule]) -> DataFrame:
+def expand_steps(
+    matches: DataFrame, rules: list[Rule], extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """matches (MATCHES_SCHEMA) -> ACTIONS_SCHEMA rows (one per enabled
-    step of each fired rule) + effective_ts."""
+    step of each fired rule) + effective_ts.
+
+    ``extra_cols``: input columns appended verbatim to every action row
+    (e.g. carried role/tool context riding through from the match
+    operator -- replaces a per-batch dropDuplicates + re-join in the
+    context pipelines)."""
     spark = matches.sparkSession
     steps = steps_df(spark, rules)
     rendered = F.when(
@@ -75,6 +82,7 @@ def expand_steps(matches: DataFrame, rules: list[Rule]) -> DataFrame:
                 F.col("ts")
                 + (F.col("cum_delay_ms") * F.expr("INTERVAL 1 MILLISECOND"))
             ).alias("effective_ts"),
+            *extra_cols,
         )
     )
 

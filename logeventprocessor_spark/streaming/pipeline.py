@@ -718,10 +718,11 @@ def start_pipeline(
       the scale-safe plan (round-5 verdict #4); bench line
       ``cep_streaming_ctx_carry_pipeline``.
 
-    Either way the cooldown gate still sees pure MATCHES_SCHEMA rows
-    (role/tool are split off inside the micro-batch and re-attached
-    after step expansion), so suppression semantics are pinned
-    identical to the plain pipeline.
+    Either way the context columns ride THROUGH the cooldown gate and
+    step expansion as pass-through columns (the gate's keyed scan only
+    reads conv_id/rule_id/ts and only ever drops rows), so suppression
+    semantics are pinned identical to the plain pipeline -- with no
+    per-batch context split/dedup/re-join.
 
     ``state_partitions``: shuffle-partition count pinned into THIS
     query's checkpoint at first start (Spark reads the session conf at
@@ -831,21 +832,20 @@ def start_pipeline(
             # previous shape (cache raw matches AND gated, separate
             # max-ts job) measured ~3.7 s of fixed per-batch work that
             # capped streaming scaling (BENCH/BASELINE.md).
+            #
+            # Context (role/tool) rides THROUGH the gate and the step
+            # expansion as pass-through columns (apply_cooldown's
+            # output schema mirrors its input; expand_steps appends
+            # extra_cols) -- a previous shape split the context off,
+            # dropDuplicates'd it, and re-joined after expansion,
+            # costing a persist of the raw frame plus an extra
+            # exchange+agg and a join PER MICRO-BATCH for values the
+            # rows already carried.
             import time as _t
 
             from pyspark.sql import Observation
 
             t0 = _t.time()
-            ctx = raw = None
-            if with_context_join:
-                # split the joined frame: pure MATCHES_SCHEMA rows feed
-                # the cooldown gate (its Arrow path maps columns BY
-                # POSITION); role/tool re-attach after step expansion
-                raw = df.persist()
-                ctx = raw.select(
-                    "conv_id", "turn_idx", "rule_id", "role", "tool"
-                ).dropDuplicates(["conv_id", "turn_idx", "rule_id"])
-                df = raw.select(*[f.name for f in MATCHES_SCHEMA.fields])
             gated = cool.gate(df, batch_id).persist()
             t_gate = _t.time()
             try:
@@ -858,12 +858,12 @@ def start_pipeline(
                     F.col("rule_id").isin(hot_ids), F.col("ts")
                 )
                 out = expand_steps(
-                    gated.observe(obs, F.max(wm_src).alias("max_ts")), rules
+                    gated.observe(obs, F.max(wm_src).alias("max_ts")),
+                    rules,
+                    extra_cols=(
+                        ("role", "tool") if with_context_join else ()
+                    ),
                 )
-                if ctx is not None:
-                    out = out.join(
-                        ctx, ["conv_id", "turn_idx", "rule_id"], "left"
-                    )
                 sink.write(out, batch_id)
                 if ack_types:
                     acks = out.filter(
@@ -886,8 +886,6 @@ def start_pipeline(
                 })
             finally:
                 gated.unpersist()
-                if raw is not None:
-                    raw.unpersist()
 
         actions = matched
     else:

@@ -36,6 +36,11 @@ def run_at(cpus: int, input_dir: str) -> dict:
          str(cpus), input_dir, "--runs=3", "--legs=batch,stream"],
         capture_output=True, text=True, timeout=3600, cwd=REPO, env=env,
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"scaling_worker cpus={cpus} failed rc={out.returncode}: "
+            f"{out.stderr[-2000:]}"
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
