@@ -257,7 +257,9 @@ def documents_as_transcripts(spark, sf_dir: str):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from logeventprocessor_spark.session import cached_parquet
+
+    docs = cached_parquet(spark, f"{sf_dir}/documents.parquet")
     w = Window.partitionBy("conv_id").orderBy("doc_id")
     return (
         docs.select(

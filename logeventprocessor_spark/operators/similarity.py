@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from logeventprocessor_spark.session import cached_parquet as _cached
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -293,7 +295,7 @@ def lsh_load_topk(
     data = os.path.join(path, "data")
     if not os.path.isdir(data):  # driver-built fixture layout
         data = os.path.join(path, "data.parquet")
-    df = spark.read.parquet(data).filter(
+    df = _cached(spark, data).filter(
         F.arrays_overlap(F.col("buckets"), qb)
     )
     if exclude_id is not None:
@@ -346,7 +348,7 @@ def near_dup_pairs_from_index(
     data = os.path.join(path, "data")
     if not os.path.isdir(data):
         data = os.path.join(path, "data.parquet")
-    df = spark.read.parquet(data)
+    df = _cached(spark, data)
     if exclude_id is not None:
         df = df.filter(F.col("vec_id") != exclude_id)
     bb = df.select("vec_id", F.explode("buckets").alias("bucket"))
@@ -501,7 +503,7 @@ def ivf_load_topk(
     q = np.asarray(query, dtype="float64")
     dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in meta["centers"]]
     probes = [int(p) for p in np.argsort(dists)[:n_probe]]
-    df = spark.read.parquet(os.path.join(path, "lists")).filter(
+    df = _cached(spark, os.path.join(path, "lists")).filter(
         F.col("_list").isin(probes)
     )
     if exclude_id is not None:

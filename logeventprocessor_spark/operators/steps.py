@@ -24,6 +24,16 @@ from logeventprocessor_spark.rules import Rule
 from logeventprocessor_spark.schema import rules_df
 
 
+# (row-tuple fingerprint) -> (session, DataFrame): PLAN memo for the
+# tiny steps dimension. createDataFrame costs ~50-100 ms of driver
+# work per call, and the streaming pipelines call steps_df once per
+# MICRO-BATCH (plus once per query build in the batch family) for a
+# table whose content is a pure function of the rule set. Bounded LRU
+# (hot-reload alternates rule sets between batches).
+_STEPS_MEMO: dict[tuple, tuple] = {}
+_STEPS_MEMO_CAP = 4
+
+
 def steps_df(spark: SparkSession, rules: list[Rule]) -> DataFrame:
     """Flat (rule_id, step_idx, type, value, modifiers, delay_ms,
     cum_delay_ms) dimension: enabled rules x enabled steps, with the
@@ -39,11 +49,21 @@ def steps_df(spark: SparkSession, rules: list[Rule]) -> DataFrame:
             cum += s.delay_ms
             rows.append((r.rule_id, s.step_idx, s.type, s.value, s.modifiers,
                          s.delay_ms, cum))
-    return spark.createDataFrame(
-        rows,
+    key = tuple(rows)
+    hit = _STEPS_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        _STEPS_MEMO.pop(key)
+        _STEPS_MEMO[key] = hit  # refresh recency
+        return hit[1]
+    df = spark.createDataFrame(
+        list(rows),
         "rule_id string, step_idx int, type string, value string, "
         "modifiers int, delay_ms int, cum_delay_ms long",
     )
+    while len(_STEPS_MEMO) >= _STEPS_MEMO_CAP:
+        _STEPS_MEMO.pop(next(iter(_STEPS_MEMO)))
+    _STEPS_MEMO[key] = (spark, df)
+    return df
 
 
 def expand_steps(

@@ -44,6 +44,7 @@ from logeventprocessor_spark.operators.sequence import sequence_detect
 from logeventprocessor_spark.operators.steps import expand_steps
 from logeventprocessor_spark.pipeline import match_actions
 from logeventprocessor_spark.schema import MATCHES_SCHEMA
+from logeventprocessor_spark.session import cached_parquet
 from logeventprocessor_spark.rules import Rule, RuleStep, canonical_rules, document_rules
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -301,20 +302,23 @@ def _doc_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cached_parquet = reader-PLAN memoization (session.py): every action
+# still scans the files; what repeat builds skip is the ~90 ms
+# footer/schema re-read spark.read.parquet pays per call.
 def _events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cached_parquet(spark, f"{sf_dir}/events.parquet")
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cached_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cached_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _li(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return cached_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 # --------------------------------------------------------------------
@@ -936,7 +940,7 @@ def q_dedup_clusters(spark, sf_dir):
     a DuckDB recursive CTE, so the fixture's correctness is re-proven
     on every driver run."""
     docs = _docs(spark, sf_dir)
-    pairs = spark.read.parquet(FX.ngram_pairs_fixture(spark, sf_dir))
+    pairs = cached_parquet(spark, FX.ngram_pairs_fixture(spark, sf_dir))
     return CC.dedup_clusters(docs, pairs)
 
 
@@ -967,6 +971,23 @@ PII_PLANTED = [
 ]
 
 
+
+# (constant-rows key) -> (session, DataFrame): plan memo for the tiny
+# planted-row frames -- createDataFrame is ~50-100 ms of driver work
+# per call and these literals never change within a process.
+_PLANTED_MEMO: dict = {}
+
+
+def _planted_df(spark, rows, schema):
+    key = (id(rows), schema)
+    hit = _PLANTED_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.createDataFrame(rows, schema)
+    _PLANTED_MEMO[key] = (spark, df)
+    return df
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction over the documents table (plus planted PII rows):
     per-class counts, total, and the md5 of the redacted text -- the
@@ -974,7 +995,7 @@ def q_pii_scrub(spark, sf_dir):
     in DuckDB, so the hash pins every replaced span byte-for-byte.
     Pure codegen'd projection, no shuffle (operators/text.py
     with_pii_scrub)."""
-    planted = spark.createDataFrame(PII_PLANTED, "doc_id long, text string")
+    planted = _planted_df(spark, PII_PLANTED, "doc_id long, text string")
     # fan_out: the scrub is 8 regex passes over a single-split local
     # scan -- rebalanced, it runs at cluster parallelism (A/B at sf0.1
     # local[32]: 0.45 -> 0.20 s); a real 100 TB scan arrives
@@ -1009,7 +1030,7 @@ def q_top_url_domains(spark, sf_dir):
     per-domain caps/blocklists. Explode fans out only URL-bearing rows
     (the corpus scan stays one pass); the domain aggregation is the
     single shuffle."""
-    planted = spark.createDataFrame(URL_PLANTED, "doc_id long, text string")
+    planted = _planted_df(spark, URL_PLANTED, "doc_id long, text string")
     docs = Tx.fan_out(
         _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
     )
@@ -1032,7 +1053,7 @@ def q_domain_capped_docs(spark, sf_dir):
     salted two-phase top-N of ``Tx.cap_docs_per_domain`` (a Zipfian
     mega-domain never lands whole in one window task). Oracled with
     the same window in DuckDB."""
-    planted = spark.createDataFrame(URL_PLANTED, "doc_id long, text string")
+    planted = _planted_df(spark, URL_PLANTED, "doc_id long, text string")
     docs = Tx.fan_out(
         _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
     )
@@ -1160,7 +1181,7 @@ def _aug_emb(spark, sf_dir):
     driver embeddings are near-random (max pairwise cosine ~0.51), so
     near-dup/ANN operators need the planted ground truth to have
     anything real to find."""
-    return spark.read.parquet(FX.augmented_embeddings_path(sf_dir))
+    return cached_parquet(spark, FX.augmented_embeddings_path(sf_dir))
 
 
 def q_embedding_neardup_pairs(spark, sf_dir):
@@ -1347,7 +1368,7 @@ def q_multimodal_features(spark, sf_dir):
     octet_length(payload) and the stored meta struct. The full feature
     vector (feat_sum) is not SQL-expressible and stays pinned by
     tests/test_datapipe.py."""
-    media = spark.read.parquet(FX.media_fixture_path())
+    media = cached_parquet(spark, FX.media_fixture_path())
     return M.decode_meta(media)
 
 

@@ -14,6 +14,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+# path -> (session, reader DataFrame). PLAN memoization only: the
+# cached object is an unexecuted logical plan -- every action against
+# it still scans the parquet files, so no result ever persists across
+# runs. What it saves is the ~85-100 ms of footer/schema re-read that
+# spark.read.parquet pays on EVERY call (measured warm, local[32]) --
+# a uniform tax on every query build in a driver that constructs
+# thousands of queries. Assumption, stated: the file set under a
+# cached path is immutable for the life of the session (true for the
+# driver tables and fixtures this package reads; a mutating caller
+# should use spark.read.parquet directly). Re-resolved when the
+# session changes (a DataFrame from a stopped session is unusable).
+_READER_MEMO: dict[str, tuple] = {}
+
+
+def cached_parquet(spark: SparkSession, path: str):
+    hit = _READER_MEMO.get(path)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.read.parquet(path)
+    _READER_MEMO[path] = (spark, df)
+    return df
+
+
 def get_spark(
     app_name: str = "logeventprocessor_spark",
     master: str | None = None,
