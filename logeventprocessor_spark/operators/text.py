@@ -170,13 +170,13 @@ def with_repetition_ratio(
     former ``size(grams)`` form ran the whole tokenization twice."""
     if rebalance:
         df = fan_out(df)
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+    from logeventprocessor_spark.operators.dedup import _gram_array
+
+    # shared regex-gram builder (identical arrays to the former
+    # interpreted transform chain, ~3x faster and codegen'd -- see
+    # dedup._gram_array); n_grams stays arithmetic: for size >= n the
+    # regex yields exactly size - n + 1 matches by construction
+    toks, grams = _gram_array(text_col, n)
     n_grams = F.size(toks) - (n - 1)
     n_distinct = F.size(F.array_distinct(grams))
     ratio = F.when(
